@@ -1,0 +1,81 @@
+"""Device mesh + sharding for pod-scale training (SURVEY.md §2c, §5
+"distributed communication backend").
+
+Design (scaling-book recipe): one mesh axis `data`; env-state pytrees are
+sharded over it (envs are embarrassingly parallel — the physics step has ZERO
+collectives), learner params are replicated, and GSPMD inserts the gradient
+`psum` over ICI during the PPO update. A second optional `model` axis is
+plumbed through for TP of large policies (off by default — the reference
+policy is a [64,64] MLP; SURVEY.md §2c TP row).
+
+The reference has no distributed story at all (single cuda:0,
+reference configs/common_cfg.py:46); this module is the new capability the
+BASELINE.json north star requires.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(num_devices: Optional[int] = None, model_parallel: int = 1) -> Mesh:
+    devices = jax.devices()
+    n = num_devices or len(devices)
+    if n % model_parallel:
+        raise ValueError(f"{n} devices not divisible by model={model_parallel}")
+    arr = np.asarray(devices[:n]).reshape(n // model_parallel, model_parallel)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (env batch) axis over `data`."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batched_pytree(tree, mesh: Mesh, batch_size: int):
+    """Place every leaf whose leading dim == batch_size on the data axis;
+    replicate everything else (scalars, global counters, params tables)."""
+    data = batch_sharding(mesh)
+    repl = replicated(mesh)
+
+    def place(x):
+        if hasattr(x, "shape") and x.ndim >= 1 and x.shape[0] == batch_size:
+            return jax.device_put(x, data)
+        return jax.device_put(x, repl)
+
+    return jax.tree_util.tree_map(place, tree)
+
+
+def shard_train_state(train_state, mesh: Mesh, num_envs: int):
+    """Canonical placement for a PPO TrainState: env batch over `data`,
+    params/opt replicated. GSPMD then derives: rollout fully local per shard;
+    minibatch gradients all-reduced over ICI."""
+    data = batch_sharding(mesh)
+    repl = replicated(mesh)
+    env_state = shard_batched_pytree(train_state.env_state, mesh, num_envs)
+    return train_state.replace(
+        params=jax.device_put(train_state.params, repl),
+        opt_state=jax.device_put(train_state.opt_state, repl),
+        env_state=env_state,
+        obs=jax.device_put(train_state.obs, data),
+        key=jax.device_put(train_state.key, repl),
+        iteration=jax.device_put(train_state.iteration, repl),
+    )
+
+
+def constrain_batch(x, mesh: Mesh):
+    """with_sharding_constraint on the leading env axis — used inside jitted
+    code to pin intermediate layouts."""
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P(DATA_AXIS)))

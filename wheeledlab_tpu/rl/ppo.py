@@ -1,0 +1,252 @@
+"""PPO learner — on-device rollout + update, rsl_rl-semantics
+(reference modified_rsl_rl_runner.py:67-118 + rsl_rl PPO algorithm as
+configured by RslRlPpoAlgorithmCfg, drifting/.../rsl_rl_ppo_cfg.py:19-31).
+
+Everything — 128-step rollout (`lax.scan` over env.step), timeout bootstrap,
+GAE, advantage normalization, 5 epochs x 4 minibatches of clipped-surrogate
+updates with adaptive-KL learning rate — compiles into ONE jitted
+`train_iteration`. No host round-trips inside an iteration; the learning rate
+is traced state (optax.inject_hyperparams), not a Python float.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..envs.env import EnvState, WheeledEnv
+from ..utils.config import configclass
+from .networks import (
+    ActorCritic, gaussian_entropy, gaussian_kl, gaussian_log_prob,
+)
+
+
+@configclass
+class PPOCfg:
+    """Parity: RslRlPpoAlgorithmCfg + runner fields (rsl_rl_ppo_cfg.py:5-32)."""
+
+    num_steps_per_env: int = 128
+    num_learning_epochs: int = 5
+    num_mini_batches: int = 4
+    clip_param: float = 0.2
+    gamma: float = 0.99
+    lam: float = 0.95
+    value_loss_coef: float = 1.0
+    use_clipped_value_loss: bool = True
+    entropy_coef: float = 0.005
+    learning_rate: float = 1.0e-3
+    schedule: str = "adaptive"       # "adaptive" | "fixed"
+    desired_kl: float = 0.01
+    max_grad_norm: float = 1.0
+    min_lr: float = 1.0e-5
+    max_lr: float = 1.0e-2
+    # policy
+    actor_hidden: Tuple[int, ...] = (64, 64)
+    critic_hidden: Tuple[int, ...] = (64, 64)
+    activation: str = "elu"
+    init_noise_std: float = 1.0
+
+
+class Transition(NamedTuple):
+    obs: jax.Array
+    action: jax.Array
+    log_prob: jax.Array
+    value: jax.Array
+    reward: jax.Array
+    done: jax.Array
+    mean: jax.Array
+    std: jax.Array
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    opt_state: Any
+    env_state: EnvState
+    obs: jax.Array
+    key: jax.Array
+    iteration: jax.Array     # i32 scalar
+
+
+def make_ppo(env: WheeledEnv, cfg: PPOCfg):
+    """Returns (init_fn, train_iteration_fn, policy_apply).
+
+    init_fn(key) -> TrainState
+    train_iteration(state) -> (state, metrics)  — fully jittable
+    """
+    model = ActorCritic(
+        action_dim=env.action_dim, actor_hidden=cfg.actor_hidden,
+        critic_hidden=cfg.critic_hidden, activation=cfg.activation,
+        init_noise_std=cfg.init_noise_std)
+
+    tx = optax.chain(
+        optax.clip_by_global_norm(cfg.max_grad_norm),
+        optax.inject_hyperparams(optax.adam)(learning_rate=cfg.learning_rate),
+    )
+
+    def init_fn(key: jax.Array) -> TrainState:
+        k_env, k_model, k_state = jax.random.split(key, 3)
+        env_state, obs = env.reset(k_env)
+        params = model.init(k_model, jnp.zeros((1, env.obs_dim)))
+        opt_state = tx.init(params)
+        return TrainState(params=params, opt_state=opt_state,
+                          env_state=env_state, obs=obs, key=k_state,
+                          iteration=jnp.zeros((), jnp.int32))
+
+    def policy_apply(params, obs):
+        return model.apply(params, obs)
+
+    # ------------------------------------------------------------- rollout
+
+    def rollout(state: TrainState):
+        def step(carry, key):
+            env_state, obs = carry
+            k_act = key
+            mean, std, value = model.apply(state.params, obs)
+            action = mean + std * jax.random.normal(k_act, mean.shape)
+            log_prob = gaussian_log_prob(mean, std, action)
+            env_state, out = env.step(env_state, action)
+            # timeout bootstrap (rsl_rl process_env_step:
+            # rewards += gamma * value * time_out)
+            reward = out.reward + cfg.gamma * value * out.time_out
+            tr = Transition(obs=obs, action=action, log_prob=log_prob,
+                            value=value, reward=reward,
+                            done=out.done.astype(jnp.float32),
+                            mean=mean, std=std)
+            return (env_state, out.obs), (tr, out.info)
+
+        keys = jax.random.split(state.key, cfg.num_steps_per_env + 1)
+        (env_state, obs), (traj, infos) = jax.lax.scan(
+            step, (state.env_state, state.obs), keys[1:])
+        return env_state, obs, traj, infos, keys[0]
+
+    # ----------------------------------------------------------------- GAE
+
+    def compute_gae(traj: Transition, last_value: jax.Array):
+        def back(carry, tr):
+            adv_next, v_next = carry
+            nonterminal = 1.0 - tr.done
+            delta = tr.reward + cfg.gamma * v_next * nonterminal - tr.value
+            adv = delta + cfg.gamma * cfg.lam * nonterminal * adv_next
+            return (adv, tr.value), adv
+
+        _, advantages = jax.lax.scan(
+            back, (jnp.zeros_like(last_value), last_value), traj, reverse=True)
+        returns = advantages + traj.value
+        norm_adv = (advantages - advantages.mean()) / (advantages.std() + 1e-8)
+        return advantages, returns, norm_adv
+
+    # -------------------------------------------------------------- update
+
+    def loss_fn(params, batch, clip_param):
+        obs, action, old_log_prob, old_value, ret, adv, old_mean, old_std = batch
+        mean, std, value = model.apply(params, obs)
+        log_prob = gaussian_log_prob(mean, std, action)
+        ratio = jnp.exp(log_prob - old_log_prob)
+        surr1 = ratio * adv
+        surr2 = jnp.clip(ratio, 1.0 - clip_param, 1.0 + clip_param) * adv
+        surrogate_loss = -jnp.minimum(surr1, surr2).mean()
+
+        if cfg.use_clipped_value_loss:
+            value_clipped = old_value + jnp.clip(
+                value - old_value, -clip_param, clip_param)
+            value_loss = jnp.maximum(
+                (value - ret) ** 2, (value_clipped - ret) ** 2).mean()
+        else:
+            value_loss = ((value - ret) ** 2).mean()
+
+        entropy = gaussian_entropy(std).mean()
+        kl = gaussian_kl(old_mean, old_std, mean, std).mean()
+        total = (surrogate_loss + cfg.value_loss_coef * value_loss
+                 - cfg.entropy_coef * entropy)
+        return total, (surrogate_loss, value_loss, entropy, kl)
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def minibatch_update(carry, batch):
+        params, opt_state = carry
+        (loss, (surr, vloss, ent, kl)), grads = grad_fn(
+            params, batch, cfg.clip_param)
+
+        if cfg.schedule == "adaptive":
+            # rsl_rl adaptive-KL LR (per minibatch)
+            lr = opt_state[1].hyperparams["learning_rate"]
+            lr = jnp.where(kl > cfg.desired_kl * 2.0,
+                           jnp.maximum(lr / 1.5, cfg.min_lr), lr)
+            lr = jnp.where((kl < cfg.desired_kl / 2.0) & (kl > 0.0),
+                           jnp.minimum(lr * 1.5, cfg.max_lr), lr)
+            opt_state[1].hyperparams["learning_rate"] = lr
+
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        metrics = jnp.stack([loss, surr, vloss, ent, kl])
+        return (params, opt_state), metrics
+
+    def update_epochs(key, params, opt_state, dataset):
+        """dataset: tuple of arrays flattened to [N, ...]."""
+        n = dataset[0].shape[0]
+        mb_size = n // cfg.num_mini_batches
+
+        def epoch(carry, key_e):
+            perm = jax.random.permutation(key_e, n)
+            shuffled = tuple(x[perm] for x in dataset)
+            batched = tuple(
+                x[: mb_size * cfg.num_mini_batches].reshape(
+                    (cfg.num_mini_batches, mb_size) + x.shape[1:])
+                for x in shuffled)
+            carry, metrics = jax.lax.scan(minibatch_update, carry, batched)
+            return carry, metrics
+
+        keys = jax.random.split(key, cfg.num_learning_epochs)
+        (params, opt_state), metrics = jax.lax.scan(
+            epoch, (params, opt_state), keys)
+        return params, opt_state, metrics.reshape(-1, 5).mean(0)
+
+    # ------------------------------------------------------ full iteration
+
+    def train_iteration(state: TrainState):
+        env_state, obs, traj, infos, key = rollout(state)
+        _, _, last_value = model.apply(state.params, obs)
+        _, returns, norm_adv = compute_gae(traj, last_value)
+
+        flat = lambda x: x.reshape((-1,) + x.shape[2:])
+        dataset = (
+            flat(traj.obs), flat(traj.action), flat(traj.log_prob),
+            flat(traj.value), flat(returns), flat(norm_adv),
+            flat(traj.mean), flat(traj.std),
+        )
+        key, k_update = jax.random.split(key)
+        params, opt_state, loss_metrics = update_epochs(
+            k_update, state.params, state.opt_state, dataset)
+
+        # episode stats: mean over transitions where an episode finished
+        done_mask = traj.done > 0.5
+        n_done = jnp.maximum(done_mask.sum(), 1.0)
+        ep_ret = (infos["episode_return"] * done_mask).sum() / n_done
+        ep_len = (infos["episode_length"] * done_mask).sum() / n_done
+        metrics = {
+            "loss/total": loss_metrics[0],
+            "loss/surrogate": loss_metrics[1],
+            "loss/value": loss_metrics[2],
+            "loss/entropy": loss_metrics[3],
+            "loss/kl": loss_metrics[4],
+            "lr": opt_state[1].hyperparams["learning_rate"],
+            "episode/return": ep_ret,
+            "episode/length": ep_len,
+            "episode/num_dones": done_mask.sum(),
+            "rollout/reward_mean": traj.reward.mean(),
+        }
+        for name in infos:
+            if name.startswith("rew/"):
+                metrics[name] = infos[name].mean()
+
+        new_state = TrainState(
+            params=params, opt_state=opt_state, env_state=env_state,
+            obs=obs, key=key, iteration=state.iteration + 1)
+        return new_state, metrics
+
+    return init_fn, train_iteration, policy_apply

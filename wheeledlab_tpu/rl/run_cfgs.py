@@ -1,0 +1,47 @@
+"""Named run configs — parity with the reference RSS_*/F1TENTH configs
+(reference configs/runs/rss_cfgs.py:8-53, runs/f1tenth_cfgs.py:7-21) plus the
+per-task PPO agent configs (SURVEY.md §2a row 19)."""
+
+from __future__ import annotations
+
+from ..utils.config import RUN_CONFIGS
+from .ppo import PPOCfg
+from .runner import LogCfg, RunConfig, TrainCfg
+
+# Agent configs (reference drifting/elevation/visual rsl_rl_ppo_cfg.py —
+# identical algorithm hyperparams; only activation + max_iterations differ).
+DRIFT_PPO = PPOCfg(activation="elu")
+ELEV_PPO = PPOCfg(activation="relu")
+VISUAL_PPO = PPOCfg(activation="relu")
+
+RSS_DRIFT_CONFIG = RunConfig(
+    task_name="MushrDriftRL-v0",
+    num_envs=1024,
+    train=TrainCfg(num_iterations=5000, log=LogCfg()),
+    agent=DRIFT_PPO,
+)
+
+RSS_ELEV_CONFIG = RunConfig(
+    task_name="MushrElevationRL-v0",
+    num_envs=1024,
+    train=TrainCfg(num_iterations=5000, log=LogCfg()),
+    agent=ELEV_PPO,
+)
+
+RSS_VISUAL_CONFIG = RunConfig(
+    task_name="MushrVisualRL-v0",
+    num_envs=512,
+    train=TrainCfg(num_iterations=5000, log=LogCfg()),
+    agent=VISUAL_PPO,
+)
+
+F1TENTH_DRIFT_CONFIG = RunConfig(
+    task_name="F1TenthDriftRL-v0",
+    num_envs=1024,
+    train=TrainCfg(num_iterations=5000, log=LogCfg()),
+    agent=DRIFT_PPO,
+)
+
+for _name in ("RSS_DRIFT_CONFIG", "RSS_ELEV_CONFIG", "RSS_VISUAL_CONFIG",
+              "F1TENTH_DRIFT_CONFIG"):
+    RUN_CONFIGS.register(_name, globals()[_name])

@@ -1,0 +1,178 @@
+"""Training runner — the L4/L5 harness (reference wheeledlab_rl: RunConfig
+tree, modified OnPolicyRunner loop, checkpointing, logging; SURVEY.md §2a
+rows 20-27) rebuilt around a single jitted train iteration.
+
+The Python loop here only orchestrates: every iteration is one device-side
+`train_iteration` call (rollout + PPO update fused); metrics come back to host
+only every `log_every` iterations. Checkpoints are orbax snapshots of the FULL
+TrainState pytree — params, optimizer state (incl. adaptive LR), env states,
+RNG keys, curriculum weights — strictly stronger resume than the reference's
+model-only `model_<it>.pt` (SURVEY.md §5 checkpoint/resume)."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+from ..utils.config import RUN_CONFIGS, configclass, to_dict
+from .ppo import PPOCfg, TrainState, make_ppo
+
+
+@configclass
+class LogCfg:
+    """Parity: LogConfig (reference configs/common_cfg.py:12-39)."""
+
+    logs_dir: str = "logs"
+    no_log: bool = False
+    log_every: int = 10
+    no_checkpoints: bool = False
+    checkpoint_every: int = 50       # reference save_interval=50
+    no_wandb: bool = True            # offline by default (no egress)
+    wandb_project: str = "WheeledLab-TPU"
+    test_mode: bool = False
+    run_name: str = ""
+
+
+@configclass
+class TrainCfg:
+    """Parity: RLTrainConfig (reference configs/rl_cfg.py:8-25)."""
+
+    seed: int = 0
+    num_iterations: int = 5000
+    load_run: Optional[str] = None
+    load_run_checkpoint: int = 0
+    log: LogCfg = LogCfg()
+
+
+@configclass
+class RunConfig:
+    """Parity: RunConfig aggregation (reference configs/common_cfg.py:66-75)."""
+
+    task_name: str = "MushrDriftRL-v0"
+    num_envs: int = 1024
+    train: TrainCfg = TrainCfg()
+    agent: PPOCfg = PPOCfg()
+    env_overrides: Any = None   # optional dict of env cfg field overrides
+
+
+class MetricLogger:
+    """JSONL + optional wandb metric sink (reference used wandb only)."""
+
+    def __init__(self, log_cfg: LogCfg, run_dir: str, config_dict: Dict):
+        self.cfg = log_cfg
+        self.run_dir = run_dir
+        self._wandb = None
+        self._fh = None
+        if log_cfg.no_log or log_cfg.test_mode:
+            return
+        os.makedirs(run_dir, exist_ok=True)
+        with open(os.path.join(run_dir, "run_config.json"), "w") as f:
+            json.dump(config_dict, f, indent=2, default=str)
+        self._fh = open(os.path.join(run_dir, "metrics.jsonl"), "a")
+        if not log_cfg.no_wandb:
+            try:
+                import wandb
+
+                self._wandb = wandb.init(
+                    project=log_cfg.wandb_project,
+                    name=log_cfg.run_name or None, config=config_dict)
+            except Exception:
+                self._wandb = None
+
+    def log(self, it: int, metrics: Dict[str, float]):
+        if self._fh is not None:
+            self._fh.write(json.dumps({"iteration": it, **metrics}) + "\n")
+            self._fh.flush()
+        if self._wandb is not None:
+            self._wandb.log(metrics, step=it)
+
+    def close(self):
+        if self._fh is not None:
+            self._fh.close()
+        if self._wandb is not None:
+            self._wandb.finish()
+
+
+def _checkpoint_manager(run_dir: str):
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(run_dir, "checkpoints"))
+    os.makedirs(path, exist_ok=True)
+    return ocp.CheckpointManager(path)
+
+
+def save_checkpoint(mgr, step: int, state: TrainState):
+    import orbax.checkpoint as ocp
+
+    mgr.save(step, args=ocp.args.StandardSave(state))
+
+
+def restore_checkpoint(mgr, step: int, target: TrainState) -> TrainState:
+    import orbax.checkpoint as ocp
+
+    if step <= 0:
+        step = mgr.latest_step()
+    return mgr.restore(step, args=ocp.args.StandardRestore(target))
+
+
+def train(run_cfg: RunConfig, env=None, max_iterations: Optional[int] = None,
+          verbose: bool = True):
+    """Assemble env + learner and run the training loop
+    (reference train_rl.py:34-124 equivalent)."""
+    from ..tasks import make_env  # late import to avoid cycles
+
+    if env is None:
+        env = make_env(run_cfg.task_name, num_envs=run_cfg.num_envs,
+                       overrides=run_cfg.env_overrides)
+
+    init_fn, train_iteration, policy_apply = make_ppo(env, run_cfg.agent)
+    init_jit = jax.jit(init_fn)
+    iter_jit = jax.jit(train_iteration, donate_argnums=(0,))
+
+    log_cfg = run_cfg.train.log
+    run_name = log_cfg.run_name or f"run-{int(time.time())}"
+    run_dir = os.path.join(log_cfg.logs_dir, run_name)
+    logger = MetricLogger(log_cfg, run_dir,
+                          {"run": to_dict(run_cfg), "task": run_cfg.task_name})
+    ckpt_mgr = None
+    if not (log_cfg.no_checkpoints or log_cfg.test_mode or log_cfg.no_log):
+        ckpt_mgr = _checkpoint_manager(run_dir)
+
+    state = init_jit(jax.random.PRNGKey(run_cfg.train.seed))
+    if run_cfg.train.load_run:
+        prev_dir = os.path.join(log_cfg.logs_dir, run_cfg.train.load_run)
+        prev_mgr = _checkpoint_manager(prev_dir)
+        state = restore_checkpoint(prev_mgr, run_cfg.train.load_run_checkpoint,
+                                   state)
+
+    n_iter = max_iterations or run_cfg.train.num_iterations
+    steps_per_iter = run_cfg.agent.num_steps_per_env * env.num_envs
+    t0 = time.time()
+    last_metrics: Dict[str, float] = {}
+    for it in range(int(state.iteration), n_iter):
+        state, metrics = iter_jit(state)
+        if (it + 1) % log_cfg.log_every == 0 or it == n_iter - 1:
+            host = {k: float(np.asarray(v)) for k, v in metrics.items()}
+            elapsed = time.time() - t0
+            host["perf/env_steps_per_s"] = steps_per_iter * (it + 1) / elapsed
+            host["perf/wall_s"] = elapsed
+            logger.log(it + 1, host)
+            last_metrics = host
+            if verbose:
+                print(f"it {it + 1:5d} | return {host.get('episode/return', 0.0):9.1f}"
+                      f" | len {host.get('episode/length', 0.0):6.1f}"
+                      f" | kl {host.get('loss/kl', 0.0):.4f}"
+                      f" | {host['perf/env_steps_per_s']:.2e} steps/s",
+                      flush=True)
+        if ckpt_mgr is not None and (it + 1) % log_cfg.checkpoint_every == 0:
+            save_checkpoint(ckpt_mgr, it + 1, state)
+    if ckpt_mgr is not None:
+        save_checkpoint(ckpt_mgr, n_iter, state)
+        ckpt_mgr.wait_until_finished()
+    logger.close()
+    return state, last_metrics
