@@ -1,0 +1,128 @@
+"""Visual task tests: map generation, camera rendering, augmentation, smoke."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.flatten_util import ravel_pytree
+
+from wheeledlab_tpu.tasks.visual.augment import (
+    augment_images, crop_gray_normalize_flatten,
+)
+from wheeledlab_tpu.tasks.visual.camera import ColorMap, render
+from wheeledlab_tpu.tasks.visual.map_gen import generate_traversability_map
+from wheeledlab_tpu.tasks.visual.task import (
+    VISUAL_OBS_DIM, VisualTaskCfg, make_visual_env,
+)
+from wheeledlab_tpu.utils import math as wmath
+
+SMALL = VisualTaskCfg(num_envs=4, map_rows=100, map_cols=100, env_rows=20,
+                      env_cols=20, group_rows=5, group_cols=5)
+
+
+class TestMapGen:
+    def test_deterministic(self):
+        m1 = generate_traversability_map(3, (100, 100), (20, 20), (5, 5), 1)
+        m2 = generate_traversability_map(3, (100, 100), (20, 20), (5, 5), 1)
+        np.testing.assert_array_equal(m1, m2)
+
+    def test_corridors_carved(self):
+        m = generate_traversability_map(3, (100, 100), (20, 20), (5, 5), 1)
+        frac = m.mean()
+        assert 0.05 < frac < 0.9  # paths exist but don't fill the map
+
+    def test_connected_cells_per_subenv(self):
+        """Every 20x20 sub-env has at least one traversable cell (each gets
+        its own walkers, reference :77-86)."""
+        m = generate_traversability_map(3, (100, 100), (20, 20), (5, 5), 1)
+        for i in range(5):
+            for j in range(5):
+                assert m[i * 20:(i + 1) * 20, j * 20:(j + 1) * 20].any()
+
+
+class TestCamera:
+    def _map_white(self):
+        return ColorMap(grid=jnp.ones((100, 100)), cell=jnp.asarray(0.5),
+                        rows=100, cols=100)
+
+    def test_white_floor_renders_ground_below_horizon(self):
+        cm = self._map_white()
+        pos = jnp.array([0.0, 0.0, 0.06])
+        quat = jnp.array([1.0, 0.0, 0.0, 0.0])
+        img = np.asarray(render(cm, pos, quat))
+        assert img.shape == (60, 80)
+        # bottom rows look at ground (white), top rows at horizon (black)
+        assert img[-5:, :].mean() > 0.9
+        assert img[:5, :].mean() < 0.1
+
+    def test_sees_boundary_ahead(self):
+        """Half-white half-black world: camera facing the black half sees
+        darker image than facing white."""
+        grid = jnp.ones((100, 100)).at[:, 50:].set(0.0)  # x > 0 black
+        cm = ColorMap(grid=grid, cell=jnp.asarray(0.5), rows=100, cols=100)
+        pos = jnp.array([0.0, 0.0, 0.06])
+        img_fwd = np.asarray(render(cm, pos, wmath.quat_from_yaw(jnp.array(0.0))))
+        img_back = np.asarray(render(cm, pos, wmath.quat_from_yaw(jnp.array(np.pi))))
+        assert img_back[-20:].mean() > img_fwd[-20:].mean() + 0.3
+
+    def test_batched_render(self):
+        cm = self._map_white()
+        pos = jnp.tile(jnp.array([0.0, 0.0, 0.06]), (3, 1))
+        quat = jnp.tile(jnp.array([1.0, 0.0, 0.0, 0.0]), (3, 1))
+        imgs = render(cm, pos, quat)
+        assert imgs.shape == (3, 60, 80)
+
+
+class TestAugment:
+    def test_shapes_and_range(self):
+        imgs = jnp.ones((4, 60, 80)) * 0.5
+        out = augment_images(imgs, jax.random.PRNGKey(0))
+        assert out.shape == (4, 60, 80)
+        assert float(out.min()) >= -1e-5 and float(out.max()) <= 1.0 + 1e-5
+
+    def test_crop_normalize_flatten(self):
+        imgs = jnp.ones((4, 60, 80))
+        flat = crop_gray_normalize_flatten(imgs)
+        assert flat.shape == (4, 40 * 80)
+        np.testing.assert_allclose(np.asarray(flat), 1.0)  # (1-0.5)/0.5
+
+    def test_blur_smooths(self):
+        img = jnp.zeros((1, 60, 80)).at[:, 30, 40].set(1.0)
+        out = augment_images(img, jax.random.PRNGKey(1), brightness=0.0,
+                             contrast=0.0, sigma_range=(3.0, 3.0))
+        assert float(out[0, 30, 40]) < 0.5  # spike spread out
+        assert float(out[0, 30, 41]) > 0.0
+
+
+class TestSmoke:
+    def test_reset_and_step(self):
+        env = make_visual_env(SMALL)
+        state, obs = jax.jit(env.reset)(jax.random.PRNGKey(0))
+        assert obs.shape == (4, VISUAL_OBS_DIM)
+        step = jax.jit(env.step)
+
+        def body(s, k):
+            a = jax.random.uniform(k, (4, 2), minval=-1, maxval=1)
+            s, out = step(s, a)
+            return s, (out.reward, out.obs)
+
+        keys = jax.random.split(jax.random.PRNGKey(1), 10)
+        state, (rews, obses) = jax.lax.scan(body, state, keys)
+        assert jnp.all(jnp.isfinite(ravel_pytree(state.vehicle)[0]))
+        assert jnp.all(jnp.isfinite(rews))
+        assert jnp.all(jnp.isfinite(obses))
+
+    def test_spawns_traversable(self):
+        env = make_visual_env(SMALL)
+        state, _ = jax.jit(env.reset)(jax.random.PRNGKey(0))
+        cm = ColorMap(
+            grid=jnp.asarray(generate_traversability_map(
+                SMALL.seed, (100, 100), (20, 20), (5, 5), 1), jnp.float32),
+            cell=jnp.asarray(0.5), rows=100, cols=100)
+        trav = np.asarray(cm.sample(state.vehicle.pos[:, :2]))
+        assert (trav > 0.5).all()
+
+
+if __name__ == "__main__":
+    import sys
+    sys.exit(pytest.main([__file__, "-x", "-q"]))

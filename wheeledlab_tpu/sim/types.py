@@ -81,6 +81,15 @@ class VehicleParams(struct.PyTreeNode):
     susp_damping: jax.Array    # () N*s/m per wheel
 
 
+def suspension_for_mass(mass, omega_n: float = 70.0, zeta: float = 0.8):
+    """Per-wheel spring/damper tuned to the sprung mass: k = (m/4) w_n^2,
+    d = 2 zeta (m/4) w_n. Keeps the contact integrator stable (w_n * dt << 2)
+    for any DR'd mass — the reference's PhysX solver got this for free; our
+    penalty contact must track mass explicitly."""
+    quarter = mass / 4.0
+    return quarter * omega_n**2, 2.0 * zeta * quarter * omega_n
+
+
 def default_mushr_params() -> VehicleParams:
     """MuSHR-class RC car (geometry from reference common/actions.py:17-19:
     wheelbase 0.325 m, track 0.2 m, wheel radius 0.05 m; actuator constants
@@ -120,8 +129,8 @@ def default_mushr_params() -> VehicleParams:
         tire_stiffness=f32(9.0),
         tire_shape=f32(1.5),
         rolling_resistance=f32(1e-4),
-        susp_stiffness=f32(2.0e4),
-        susp_damping=f32(180.0),
+        susp_stiffness=f32(suspension_for_mass(m)[0]),
+        susp_damping=f32(suspension_for_mass(m)[1]),
     )
 
 
@@ -153,7 +162,17 @@ def default_f1tenth_params() -> VehicleParams:
         motor_effort_limit=f32(0.25),
         motor_vel_limit=f32(400.0),
         drive_mask=jnp.ones((4,), jnp.float32),  # 4WD
+        susp_stiffness=f32(suspension_for_mass(m)[0]),
+        susp_damping=f32(suspension_for_mass(m)[1]),
     )
+
+
+def with_mass(params: VehicleParams, mass) -> VehicleParams:
+    """Set (possibly batched) chassis mass, retuning suspension to match —
+    use for mass domain randomization."""
+    k, d = suspension_for_mass(mass)
+    return params.replace(mass=jnp.asarray(mass, jnp.float32),
+                          susp_stiffness=k, susp_damping=d)
 
 
 def batch_params(params: VehicleParams, num_envs: int) -> VehicleParams:

@@ -22,6 +22,7 @@ from ...sim.actions import ActionMapCfg
 from ...sim.terrain import Heightfield
 from ...sim.types import (
     VehicleState, batch_params, default_f1tenth_params, default_mushr_params,
+    with_mass,
 )
 from ...utils import math as wmath
 from ...utils.config import configclass
@@ -267,9 +268,8 @@ def make_drift_task(cfg: DriftTaskCfg) -> TaskModel:
         dmass = jax.random.uniform(
             k_mass, (num,), minval=cfg.mass_delta_range[0],
             maxval=cfg.mass_delta_range[1])
-        return params.replace(
-            tire_mu=tire_mu, motor_damping=motor_damping,
-            mass=params.mass + dmass)
+        params = params.replace(tire_mu=tire_mu, motor_damping=motor_damping)
+        return with_mass(params, params.mass + dmass)
 
     def sample_spawn(key, num):
         """Reset along track (reset_root_state_along_track,

@@ -1,0 +1,253 @@
+"""Elevation task — TPU recomposition of the reference rough-terrain MDP
+(source/wheeledlab_tasks/wheeledlab_tasks/elevation/mushr_elevation_env_cfg.py).
+
+Replaces the USD heightfield + RayCaster grid scanner with a procedural
+heightfield + batched bilinear grid-scan kernel (SURVEY.md §2b rows 1, 3).
+Goal commands, rewards, terminations, events and curriculum reproduce the
+reference terms (file:line cited per function)."""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ...envs.env import (
+    CommandCfg, CurriculumTerm, EnvCfg, RewardTerm, StepCtx, TaskModel,
+    WheeledEnv,
+)
+from ...sim.actions import ActionMapCfg
+from ...sim.types import (
+    VehicleState, batch_params, default_mushr_params, with_mass,
+)
+from ...utils import math as wmath
+from ...utils.config import configclass
+from .terrain_gen import generate_elevation_terrain
+
+REST_H = 0.06          # body-origin rest height above local ground
+SCAN_SIZE = 2.5        # GridPatternCfg(size=[2.5, 2.5]) (:139)
+SCAN_RES = 0.1
+SCAN_N = int(round(SCAN_SIZE / SCAN_RES)) + 1   # 26 x 26 grid
+ELEV_OBS_DIM = 2 + 3 + 3 + 3 + 2 + SCAN_N * SCAN_N
+
+
+@configclass
+class ElevationTaskCfg:
+    """Parity: MushrElevationRLEnvCfg (mushr_elevation_env_cfg.py:438-469)."""
+
+    num_envs: int = 512
+    seed: int = 42
+    sim_dt: float = 0.01          # 100 Hz
+    decimation: int = 10          # 10 Hz control
+    episode_length_s: float = 20.0
+    # terrain generation (replaces huge_compact.usd)
+    terrain_extent: float = 44.0
+    terrain_cell: float = 0.25
+    num_mounds: int = 60
+    # goal command (:425-435)
+    goal_range: float = 19.0
+    goal_resample_s: float = 10.0
+    # spawn (set_goal event, :409-419)
+    spawn_range: float = 19.0
+    spawn_vel_range: Tuple[float, float] = (0.1, 0.2)
+    # DR (:383-407)
+    mass_delta_range: Tuple[float, float] = (0.2, 0.5)
+    wheel_friction: float = 1.0   # dynamic friction fixed at 1.0 (:391-393)
+    events_enabled: bool = True
+    enable_corruption: bool = False  # reference ConcatObs disables corruption
+
+
+# ---------------------------------------------------------------------------
+# Reward terms (ElevationRewardsCfg, mushr_elevation_env_cfg.py:283-305)
+# ---------------------------------------------------------------------------
+
+
+def goal_progress_rate(ctx: StepCtx) -> jax.Array:
+    """5 + projection of world velocity onto the goal direction (:239-249)."""
+    pos = ctx.vehicle.pos[..., :2]
+    vel = ctx.vehicle.lin_vel[..., :2]
+    goal_vec = ctx.command[..., :2] - pos
+    norm = jnp.maximum(jnp.linalg.norm(goal_vec, axis=-1), 1e-6)
+    proj = jnp.sum(vel * goal_vec, axis=-1) / norm
+    return 5.0 + proj
+
+
+def higher_elevation(ctx: StepCtx) -> jax.Array:
+    """clip(z_above_base where climbing, 0, 1) (:166-173). The reference's
+    0.19 base offset is our rest height REST_H."""
+    z = ctx.vehicle.pos[..., 2] - REST_H
+    vx = ctx.body_lin_vel[..., 0]
+    rew = jnp.where((z > 0.1) & (vx > 0.1), z, 0.0)
+    return jnp.clip(rew, 0.0, 1.0)
+
+
+def is_falling_penalty(ctx: StepCtx, max_body_z_vel: float = 0.10) -> jax.Array:
+    """body z velocity above threshold (:251-254)."""
+    return (ctx.body_lin_vel[..., 2] > max_body_z_vel).astype(jnp.float32)
+
+
+def stuck_term_penalty(ctx: StepCtx) -> jax.Array:
+    """is_terminated_term on 'stuck' (:301-305)."""
+    return ctx.term_flags["stuck"].astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Terminations (ElevationTerminationsCfg, :349-376)
+# ---------------------------------------------------------------------------
+
+
+def _forward_vel(ctx: StepCtx) -> jax.Array:
+    return jnp.clip(ctx.body_lin_vel[..., 0], a_max=1.2)
+
+
+def below_height(ctx: StepCtx) -> jax.Array:
+    """root_height_below_minimum 0.15 with base 0.19 -> 4 cm below rest;
+    measured relative to local terrain height (:356-359)."""
+    ground = ctx.terrain.lookup(ctx.vehicle.pos[..., :2])
+    return (ctx.vehicle.pos[..., 2] - ground) < (REST_H - 0.04)
+
+
+def stuck(ctx: StepCtx, min_vel: float = 0.02,
+          wheel_spin_thr: float = 5.0) -> jax.Array:
+    """not moving + spinning wheels (:342-347)."""
+    not_moving = _forward_vel(ctx) < min_vel
+    spinning = jnp.sum(ctx.vehicle.wheel_omega, axis=-1) > wheel_spin_thr
+    return not_moving & spinning
+
+
+def rollover(ctx: StepCtx, thresh_deg: float = 60.0) -> jax.Array:
+    """tilt angle beyond 60 deg (upright_bool, :339-340)."""
+    cos_tilt = wmath.up_dot(ctx.vehicle.quat)
+    return cos_tilt < jnp.cos(jnp.deg2rad(thresh_deg))
+
+
+def at_goal(ctx: StepCtx, dist: float = 0.5) -> jax.Array:
+    """close_to_goal (:268-273)."""
+    d = jnp.linalg.norm(
+        ctx.command[..., :2] - ctx.vehicle.pos[..., :2], axis=-1)
+    return d < dist
+
+
+# ---------------------------------------------------------------------------
+# Observations (ElevationObsCfg, :57-88)
+# ---------------------------------------------------------------------------
+
+
+def elevation_obs(ctx: StepCtx, key: jax.Array) -> jax.Array:
+    v = ctx.vehicle
+    goal_rel = jnp.nan_to_num(ctx.command[..., :2] - v.pos[..., :2])
+    euler = wmath.euler_xyz_from_quat(v.quat)
+    yaw = euler[..., 2]
+    # world-corrected height map: terrain height around the robot, yaw-aligned
+    # grid scan == RayCaster GridPattern attach_yaw_only (:132-142), expressed
+    # relative to the robot's ground height like world_height_map (:44-48)
+    scan = ctx.terrain.grid_scan(v.pos[..., :2], yaw, SCAN_SIZE, SCAN_RES)
+    ground = ctx.terrain.lookup(v.pos[..., :2])
+    rel_scan = scan - ground[..., None]
+    return jnp.concatenate([
+        goal_rel,
+        euler,
+        jnp.clip(ctx.body_lin_vel, -10.0, 10.0),
+        jnp.clip(ctx.body_ang_vel, -10.0, 10.0),
+        jnp.clip(ctx.last_action, -1.0, 1.0),
+        jnp.clip(rel_scan, -10.0, 10.0),
+    ], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Task assembly
+# ---------------------------------------------------------------------------
+
+
+def make_elevation_task(cfg: ElevationTaskCfg) -> TaskModel:
+    n = cfg.num_envs
+    base_key = jax.random.PRNGKey(cfg.seed)
+    terrain = generate_elevation_terrain(
+        jax.random.fold_in(base_key, 23), extent=cfg.terrain_extent,
+        cell=cfg.terrain_cell, num_mounds=cfg.num_mounds,
+        friction=cfg.wheel_friction)
+
+    # MUSHR_SUS (4WD) actuators: effort_limit 0.25, all wheels driven
+    # (reference hound.py HOUND_SUS_ACTUATOR_CFG + Mushr4WDActionCfg)
+    base_params = default_mushr_params().replace(
+        motor_effort_limit=jnp.asarray(0.25, jnp.float32),
+        drive_mask=jnp.ones((4,), jnp.float32))
+    action = ActionMapCfg(drivetrain="4wd", scale=(3.0, 0.488),
+                          bounding_strategy="clip", no_reverse=True,
+                          base_length=0.325, base_width=0.2,
+                          wheel_radius=0.05)
+
+    env_cfg = EnvCfg(
+        num_envs=n, sim_dt=cfg.sim_dt, decimation=cfg.decimation,
+        episode_length_s=cfg.episode_length_s, action=action,
+        enable_corruption=cfg.enable_corruption,
+        events_enabled=cfg.events_enabled)
+
+    def init_params(key, num):
+        """Startup DR (:383-407): friction fixed 1.0, mass add U(0.2, 0.5)."""
+        params = batch_params(base_params, num)
+        if not cfg.events_enabled:
+            return params
+        k_mass, = jax.random.split(key, 1)
+        dmass = jax.random.uniform(
+            k_mass, (num,), minval=cfg.mass_delta_range[0],
+            maxval=cfg.mass_delta_range[1])
+        return with_mass(params, params.mass + dmass)
+
+    def sample_spawn(key, num):
+        """reset_root_state_uniform over +-19 m, yaw +-pi, small forward vel
+        (:409-419); z snapped to local terrain height."""
+        k_xy, k_yaw, k_vel = jax.random.split(key, 3)
+        xy = jax.random.uniform(
+            k_xy, (num, 2), minval=-cfg.spawn_range, maxval=cfg.spawn_range)
+        yaw = jax.random.uniform(k_yaw, (num,), minval=-jnp.pi, maxval=jnp.pi)
+        vel_xy = jax.random.uniform(
+            k_vel, (num, 2), minval=cfg.spawn_vel_range[0],
+            maxval=cfg.spawn_vel_range[1])
+        ground = terrain.lookup(xy)
+        pos = jnp.concatenate([xy, (ground + REST_H + 0.02)[:, None]], -1)
+        state = VehicleState.zero((num,))
+        lin_vel = jnp.concatenate([vel_xy, jnp.zeros((num, 1))], -1)
+        return state.replace(pos=pos, quat=wmath.quat_from_yaw(yaw),
+                             lin_vel=lin_vel)
+
+    reward_terms = (
+        RewardTerm("vel_towards_goal", 200.0, goal_progress_rate),
+        RewardTerm("height_z", 5000.0, higher_elevation),
+        RewardTerm("falling_penalty", 0.0, is_falling_penalty),
+        RewardTerm("termination_penalty", -200.0, stuck_term_penalty),
+    )
+
+    curriculum = (
+        CurriculumTerm("vel_towards_goal", 5.0, 50, 5),
+        CurriculumTerm("falling_penalty", 1.0, 50, 10),
+    )
+
+    command = CommandCfg(
+        pos_x=(-cfg.goal_range, cfg.goal_range),
+        pos_y=(-cfg.goal_range, cfg.goal_range),
+        heading=(-3.14, 3.14),
+        resampling_time_s=cfg.goal_resample_s)
+
+    return TaskModel(
+        cfg=env_cfg,
+        terrain=terrain,
+        obs_dim=ELEV_OBS_DIM,
+        init_params=init_params,
+        sample_spawn=sample_spawn,
+        reward_terms=reward_terms,
+        termination_fns={
+            "cart_out_of_bounds": below_height,
+            "stuck": stuck,
+            "rollover": rollover,
+            "at_goal": at_goal,
+        },
+        observe=elevation_obs,
+        curriculum=curriculum,
+        command=command,
+    )
+
+
+def make_elevation_env(cfg: ElevationTaskCfg = ElevationTaskCfg()) -> WheeledEnv:
+    return WheeledEnv(make_elevation_task(cfg))

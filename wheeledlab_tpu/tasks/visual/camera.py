@@ -1,0 +1,92 @@
+"""Batched on-device camera for the visual task — the TPU replacement for the
+RTX TiledCamera (SURVEY.md §2b row 2).
+
+The visual world is a flat colored grid (white traversable corridors on
+black), so a full rasterizer is unnecessary: each pixel is one ray-ground
+intersection + one map gather (projective sampling). The whole 80x60xB render
+is pure VPU/gather work inside the jitted step.
+
+Camera model parity (reference mushr_visual_env_cfg.py:230-246):
+PinholeCameraCfg focal_length 1.93 mm, apertures 3.896 x 2.453 mm
+(-> FOV ~90.4 x 64.9 deg), 80x60, mounted at +8 cm forward on the chassis,
+ROS convention facing +x.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ...utils import math as wmath
+
+WIDTH, HEIGHT = 80, 60
+FOCAL = 1.9299999475479126
+APERTURE_H = 3.8959999084472656
+APERTURE_V = 2.453000068664551
+CAM_OFFSET_B = jnp.array([0.08, 0.0, 0.10])  # camera_link offset (body frame)
+
+
+class ColorMap(struct.PyTreeNode):
+    """World-grid color source. grid[row, col] in [0,1]; world x -> col,
+    y -> row (reference traversability_utils.py:68-88 index convention)."""
+
+    grid: jax.Array       # (rows, cols) f32 intensity (1 traversable, 0 not)
+    cell: jax.Array       # () spacing (0.5 m)
+    rows: int = struct.field(pytree_node=False, default=500)
+    cols: int = struct.field(pytree_node=False, default=500)
+
+    @property
+    def width(self) -> float:
+        return self.cols * float(self.cell)  # world x extent
+
+    @property
+    def height(self) -> float:
+        return self.rows * float(self.cell)  # world y extent
+
+    def sample(self, xy: jax.Array) -> jax.Array:
+        """Nearest-cell intensity at world xy: (..., 2) -> (...).
+        Index math mirrors TraversabilityHashmapUtil.get_map_id."""
+        x, y = xy[..., 0], xy[..., 1]
+        col = jnp.floor((x + self.width / 2) / self.cell).astype(jnp.int32)
+        row = jnp.floor((y + self.height / 2) / self.cell).astype(jnp.int32)
+        col = jnp.clip(col, 0, self.cols - 1)
+        row = jnp.clip(row, 0, self.rows - 1)
+        return self.grid[row, col]
+
+
+def _pixel_rays():
+    """Unit ray directions in camera frame (x forward, y left, z up),
+    shape (HEIGHT, WIDTH, 3). Pixel (0,0) is top-left."""
+    us = (jnp.arange(WIDTH, dtype=jnp.float32) + 0.5) / WIDTH - 0.5
+    vs = (jnp.arange(HEIGHT, dtype=jnp.float32) + 0.5) / HEIGHT - 0.5
+    # camera-frame: forward x = focal dir; left y = -u * aperture; up z = -v
+    y = -(us * APERTURE_H)[None, :].repeat(HEIGHT, 0)
+    z = -(vs * APERTURE_V)[:, None].repeat(WIDTH, 1)
+    x = jnp.full((HEIGHT, WIDTH), FOCAL)
+    d = jnp.stack([x, y, z], axis=-1)
+    return d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+
+
+_RAYS = _pixel_rays()
+
+
+def render(colormap: ColorMap, pos: jax.Array, quat: jax.Array) -> jax.Array:
+    """Render grayscale (..., HEIGHT, WIDTH) images for vehicle pose(s).
+
+    Ray-ground intersection: t = -o_z / d_z for downward rays; above-horizon
+    pixels render 0 (black, matching the black world edge)."""
+    cam_pos = pos + wmath.quat_rotate(quat, jnp.broadcast_to(
+        CAM_OFFSET_B, pos.shape))
+
+    def one(cp, q):
+        d_world = wmath.quat_rotate(q[None, None, :], _RAYS)  # (H, W, 3)
+        dz = d_world[..., 2]
+        t = -cp[2] / jnp.where(dz < -1e-6, dz, -1e-6)
+        hit_xy = cp[None, None, :2] + t[..., None] * d_world[..., :2]
+        color = colormap.sample(hit_xy)
+        return jnp.where(dz < -1e-6, color, 0.0)
+
+    if pos.ndim == 1:
+        return one(cam_pos, quat)
+    return jax.vmap(one)(cam_pos, quat)

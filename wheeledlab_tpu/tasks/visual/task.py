@@ -1,0 +1,203 @@
+"""Visual task — TPU recomposition of the reference camera-policy MDP
+(source/wheeledlab_tasks/wheeledlab_tasks/visual/mushr_visual_env_cfg.py).
+
+World: procedurally carved traversability corridors (white on black) on a
+flat plane; the policy sees an 80x60 onboard camera rendered on-device
+(camera.py), augmented and flattened (augment.py). Rewards/terminations/events
+reproduce the reference terms (file:line cited)."""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...envs.env import EnvCfg, RewardTerm, StepCtx, TaskModel, WheeledEnv
+from ...sim.actions import ActionMapCfg
+from ...sim.terrain import Heightfield
+from ...sim.types import (
+    VehicleState, batch_params, default_mushr_params, with_mass,
+)
+from ...utils import math as wmath
+from ...utils.config import configclass
+from .augment import augment_images, crop_gray_normalize_flatten
+from .camera import HEIGHT, WIDTH, ColorMap, render
+from .map_gen import generate_traversability_map
+
+REST_H = 0.06
+CAMERA_OBS = (HEIGHT - HEIGHT // 3) * WIDTH  # 40 x 80 = 3200
+VISUAL_OBS_DIM = CAMERA_OBS + 3 + 3 + 2
+
+
+@configclass
+class VisualTaskCfg:
+    """Parity: MushrVisualRLEnvCfg (mushr_visual_env_cfg.py:412-448)."""
+
+    num_envs: int = 1024
+    seed: int = 42
+    # reference: sim.dt=0.02, decimation 10 (5 Hz control). We run physics at
+    # 100 Hz with decimation 20 — same control rate, stable contact integ.
+    sim_dt: float = 0.01
+    decimation: int = 20
+    episode_length_s: float = 10.0
+    # map (VisualTerrainImporterCfg :68-112)
+    map_rows: int = 500
+    map_cols: int = 500
+    cell: float = 0.5
+    env_rows: int = 100
+    env_cols: int = 100
+    group_rows: int = 50
+    group_cols: int = 50
+    num_walkers: int = 1
+    ground_friction: float = 2.0     # static/dynamic 2.0 (:130-135)
+    # DR (VisualEventsRandomCfg :267-299)
+    friction_range: Tuple[float, float] = (0.4, 0.6)
+    friction_buckets: int = 10
+    base_mass_range: Tuple[float, float] = (1.0, 3.0)    # abs
+    wheel_mass_range: Tuple[float, float] = (0.01, 0.3)  # abs -> spin inertia
+    events_enabled: bool = True
+    enable_corruption: bool = True   # Unoise on vel/action obs (:46-52)
+
+
+# ---------------------------------------------------------------------------
+# Rewards (VisualRewardsCfg :374-385) and terminations (:390-409)
+# ---------------------------------------------------------------------------
+
+
+def make_terms(colormap: ColorMap):
+    def traversable_reward(ctx: StepCtx) -> jax.Array:
+        """+1 on corridor, -1 off (traversable_reward :309-312)."""
+        t = colormap.sample(ctx.vehicle.pos[..., :2])
+        return jnp.where(t > 0.5, 1.0, -1.0)
+
+    def forward_vel(ctx: StepCtx) -> jax.Array:
+        """body-frame forward velocity (:370-371)."""
+        return ctx.body_lin_vel[..., 0]
+
+    def out_of_map(ctx: StepCtx) -> jax.Array:
+        """outside the map extent (:390-398)."""
+        x, y = ctx.vehicle.pos[..., 0], ctx.vehicle.pos[..., 1]
+        return ((jnp.abs(x) > colormap.width / 2)
+                | (jnp.abs(y) > colormap.height / 2))
+
+    return traversable_reward, forward_vel, out_of_map
+
+
+# ---------------------------------------------------------------------------
+# Task assembly
+# ---------------------------------------------------------------------------
+
+
+def make_visual_task(cfg: VisualTaskCfg) -> TaskModel:
+    n = cfg.num_envs
+
+    trav_np = generate_traversability_map(
+        cfg.seed, map_size=(cfg.map_rows, cfg.map_cols),
+        env_size=(cfg.env_rows, cfg.env_cols),
+        sub_group_size=(cfg.group_rows, cfg.group_cols),
+        num_walkers=cfg.num_walkers)
+    colormap = ColorMap(
+        grid=jnp.asarray(trav_np, jnp.float32),
+        cell=jnp.asarray(cfg.cell, jnp.float32),
+        rows=cfg.map_rows, cols=cfg.map_cols)
+
+    # valid spawn cells (reference generate_random_poses,
+    # visual/utils/__init__.py:190-205): any traversable cell
+    rows_idx, cols_idx = np.nonzero(trav_np)
+    spawn_xy_np = np.stack([
+        (cols_idx - cfg.map_cols // 2) * cfg.cell,   # x from col
+        (rows_idx - cfg.map_rows // 2) * cfg.cell,   # y from row
+    ], axis=-1).astype(np.float32)
+    spawn_xy = jnp.asarray(spawn_xy_np)
+
+    base_params = default_mushr_params().replace(
+        motor_effort_limit=jnp.asarray(0.25, jnp.float32),
+        drive_mask=jnp.ones((4,), jnp.float32))   # MUSHR_SUS 4WD
+    action = ActionMapCfg(drivetrain="4wd", scale=(3.0, 0.488),
+                          bounding_strategy="clip", no_reverse=True,
+                          base_length=0.325, base_width=0.2,
+                          wheel_radius=0.05)
+
+    env_cfg = EnvCfg(
+        num_envs=n, sim_dt=cfg.sim_dt, decimation=cfg.decimation,
+        episode_length_s=cfg.episode_length_s, action=action,
+        enable_corruption=cfg.enable_corruption,
+        events_enabled=cfg.events_enabled)
+
+    terrain = Heightfield.flat(friction=cfg.ground_friction)
+    traversable_reward, forward_vel, out_of_map = make_terms(colormap)
+
+    def init_params(key, num):
+        """Startup DR (:267-299): per-wheel friction buckets, base mass abs,
+        wheel mass abs -> spin inertia."""
+        params = batch_params(base_params, num)
+        if not cfg.events_enabled:
+            return params
+        k_bucket, k_assign, k_mass, k_wmass = jax.random.split(key, 4)
+        buckets = jax.random.uniform(
+            k_bucket, (cfg.friction_buckets,),
+            minval=cfg.friction_range[0], maxval=cfg.friction_range[1])
+        assign = jax.random.randint(k_assign, (num, 4), 0,
+                                    cfg.friction_buckets)
+        tire_mu = buckets[assign]
+        base_mass = jax.random.uniform(
+            k_mass, (num,), minval=cfg.base_mass_range[0],
+            maxval=cfg.base_mass_range[1])
+        wheel_mass = jax.random.uniform(
+            k_wmass, (num,), minval=cfg.wheel_mass_range[0],
+            maxval=cfg.wheel_mass_range[1])
+        wheel_inertia = 0.5 * wheel_mass * 0.05**2
+        params = params.replace(tire_mu=tire_mu, wheel_inertia=wheel_inertia)
+        return with_mass(params, base_mass)
+
+    def sample_spawn(key, num):
+        """Reset to a random traversable cell with random heading
+        (visual/mdp/events.py:11-45)."""
+        k_idx, k_yaw = jax.random.split(key)
+        idx = jax.random.randint(k_idx, (num,), 0, spawn_xy.shape[0])
+        xy = spawn_xy[idx]
+        yaw = jax.random.uniform(k_yaw, (num,), minval=0.0,
+                                 maxval=2 * jnp.pi)
+        pos = jnp.concatenate(
+            [xy, jnp.full((num, 1), REST_H + 0.04)], -1)
+        state = VehicleState.zero((num,))
+        return state.replace(pos=pos, quat=wmath.quat_from_yaw(yaw))
+
+    def observe(ctx: StepCtx, key: jax.Array) -> jax.Array:
+        v = ctx.vehicle
+        imgs = render(colormap, v.pos, v.quat)         # (B, 60, 80)
+        k_aug, k_n = jax.random.split(key)
+        if cfg.enable_corruption:
+            imgs = augment_images(imgs, k_aug)
+        cam = crop_gray_normalize_flatten(imgs)        # (B, 3200)
+        lin = ctx.body_lin_vel
+        ang = ctx.body_ang_vel
+        act = jnp.clip(ctx.last_action, -1.0, 1.0)
+        if cfg.enable_corruption:
+            k1, k2, k3 = jax.random.split(k_n, 3)
+            u = lambda k, x: x + jax.random.uniform(
+                k, x.shape, minval=-0.1, maxval=0.1)
+            lin, ang, act = u(k1, lin), u(k2, ang), u(k3, act)
+        return jnp.concatenate([cam, lin, ang, act], axis=-1)
+
+    reward_terms = (
+        RewardTerm("traversablility", 5.0, traversable_reward),
+        RewardTerm("vel_rew", 7.0, forward_vel),
+    )
+
+    return TaskModel(
+        cfg=env_cfg,
+        terrain=terrain,
+        obs_dim=VISUAL_OBS_DIM,
+        init_params=init_params,
+        sample_spawn=sample_spawn,
+        reward_terms=reward_terms,
+        termination_fns={"out_range": out_of_map},
+        observe=observe,
+    )
+
+
+def make_visual_env(cfg: VisualTaskCfg = VisualTaskCfg()) -> WheeledEnv:
+    return WheeledEnv(make_visual_task(cfg))
