@@ -1,0 +1,97 @@
+"""Play CLI — parity with the reference play_policy.py
+(source/wheeledlab_rl/scripts/play_policy.py): load a trained run, roll the
+deterministic policy in the task's Play env variant (no terminations/noise/DR,
+reference mushr_drift_env_cfg.py:410-430), dump rollouts, render a top-down
+video.
+
+    python -m wheeledlab_tpu.cli.play --run <run_name> [--checkpoint N]
+        [--steps 500] [--num-envs 16] [--video]
+
+Outputs <run>/play/<name>-rollouts.npz with stacked observations/actions
+(parity: play_policy.py:160-165 torch.save of the same dict).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="WheeledLab-TPU policy playback")
+    p.add_argument("--run", required=True, help="run name under --logs-dir")
+    p.add_argument("--logs-dir", default="logs")
+    p.add_argument("--checkpoint", type=int, default=0, help="0 = latest")
+    p.add_argument("--steps", type=int, default=500)
+    p.add_argument("--num-envs", type=int, default=16)
+    p.add_argument("--video", action="store_true")
+    p.add_argument("--headless", action="store_true", help="compat no-op")
+    args = p.parse_args(sys.argv[1:] if argv is None else argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..rl.ppo import PPOCfg, make_ppo
+    from ..rl.runner import _checkpoint_manager, restore_checkpoint
+    from ..tasks import make_env
+    from ..utils import math as wmath
+    from ..utils.config import apply_overrides
+
+    run_dir = os.path.join(args.logs_dir, args.run)
+    with open(os.path.join(run_dir, "run_config.json")) as f:
+        saved = json.load(f)["run"]
+    task_name = saved["task_name"]
+
+    # play env variant: terminations/noise/DR stripped
+    env = make_env(task_name, num_envs=args.num_envs, play=True)
+    agent_cfg = PPOCfg(**{
+        k: (tuple(v) if isinstance(v, list) else v)
+        for k, v in saved["agent"].items()})
+
+    # restore params from the full-TrainState checkpoint via the train env
+    train_env = make_env(task_name, num_envs=saved["num_envs"])
+    init_fn, _, policy_apply = make_ppo(train_env, agent_cfg)
+    template = jax.eval_shape(init_fn, jax.random.PRNGKey(0))
+    state = jax.jit(init_fn)(jax.random.PRNGKey(0))
+    mgr = _checkpoint_manager(run_dir)
+    state = restore_checkpoint(mgr, args.checkpoint, state)
+    params = state.params
+
+    env_state, obs = jax.jit(env.reset)(jax.random.PRNGKey(args.num_envs))
+
+    @jax.jit
+    def rollout(env_state, obs):
+        def body(carry, _):
+            s, o = carry
+            mean, _, _ = policy_apply(params, o)   # deterministic policy
+            s, out = env.step(s, mean)
+            yaw = wmath.yaw_from_quat(s.vehicle.quat)
+            return (s, out.obs), (o, mean, s.vehicle.pos, yaw, out.reward)
+
+        (env_state, obs), traj = jax.lax.scan(
+            body, (env_state, obs), None, length=args.steps)
+        return traj
+
+    obs_t, act_t, pos_t, yaw_t, rew_t = [np.asarray(x) for x in rollout(env_state, obs)]
+    play_dir = os.path.join(run_dir, "play")
+    os.makedirs(play_dir, exist_ok=True)
+    out_path = os.path.join(play_dir, f"{args.run}-rollouts.npz")
+    np.savez_compressed(out_path, observations=obs_t, actions=act_t,
+                        positions=pos_t, yaws=yaw_t, rewards=rew_t)
+    print(f"saved rollouts to {out_path}  "
+          f"(obs {obs_t.shape}, mean reward {rew_t.mean():.3f})")
+
+    if args.video:
+        from ..render.topdown import render_drift_frames, save_video
+
+        frames = render_drift_frames(pos_t[:, :, :2], yaw_t)
+        vid = save_video(frames, os.path.join(play_dir, f"{args.run}.avi"))
+        print(f"saved video to {vid}")
+
+
+if __name__ == "__main__":
+    main()

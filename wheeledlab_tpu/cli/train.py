@@ -1,0 +1,61 @@
+"""Train CLI — parity with the reference train_rl.py
+(source/wheeledlab_rl/scripts/train_rl.py):
+
+    python -m wheeledlab_tpu.cli.train -r RSS_DRIFT_CONFIG \
+        env.num_envs=2048 agent.learning_rate=5e-4 train.num_iterations=1000
+
+Dotted overrides use the same grammar as the reference's Hydra CLI; `--headless`
+and `--video` are accepted for command-line compatibility (rendering is
+always headless here; videos are rendered from trajectories by the play CLI).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="WheeledLab-TPU RL training")
+    p.add_argument("-r", "--run-config", default="RSS_DRIFT_CONFIG",
+                   help="named run config (RSS_DRIFT_CONFIG, RSS_ELEV_CONFIG, "
+                        "RSS_VISUAL_CONFIG, F1TENTH_DRIFT_CONFIG)")
+    p.add_argument("--num-envs", type=int, default=None)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--max-iterations", type=int, default=None)
+    p.add_argument("--headless", action="store_true",
+                   help="accepted for reference-CLI compatibility (no-op)")
+    p.add_argument("--video", action="store_true",
+                   help="accepted for reference-CLI compatibility (no-op)")
+    return p
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    parser = build_parser()
+    args, extra = parser.parse_known_args(argv)
+
+    from ..rl.runner import train
+    from ..utils.config import RUN_CONFIGS, apply_overrides, parse_cli_overrides
+    import wheeledlab_tpu.rl  # noqa: F401  registers run configs
+
+    cfg = RUN_CONFIGS.get(args.run_config)
+    overrides = parse_cli_overrides(extra)
+    # accept reference-style `env.num_envs=` / `agent.*=` / `train.*=` paths
+    remapped = {}
+    for k, v in overrides.items():
+        remapped[k.replace("env.num_envs", "num_envs")] = v
+    cfg = apply_overrides(cfg, remapped)
+    if args.num_envs is not None:
+        cfg = cfg.replace(num_envs=args.num_envs)
+    if args.seed is not None:
+        cfg = cfg.replace(train=cfg.train.replace(seed=args.seed))
+    if args.max_iterations is not None:
+        cfg = cfg.replace(train=cfg.train.replace(
+            num_iterations=args.max_iterations))
+
+    train(cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,107 @@
+"""Top-down trajectory rendering — the training-video equivalent of the
+reference's CustomRecordVideo (custom_video_recorder.py:12-75). The reference
+recorded RTX frames; here video frames are rasterized on host from logged
+trajectories (SURVEY.md §2b wandb/PyAV row). Encoded as MJPEG-in-AVI if PyAV
+is available, else saved as .npy frame stacks (no hard video dependency —
+`av` is not in this image)."""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+def _draw_disk(img: np.ndarray, cx: float, cy: float, r: float, color) -> None:
+    h, w, _ = img.shape
+    y0, y1 = max(int(cy - r), 0), min(int(cy + r) + 1, h)
+    x0, x1 = max(int(cx - r), 0), min(int(cx + r) + 1, w)
+    if y0 >= y1 or x0 >= x1:
+        return
+    ys, xs = np.mgrid[y0:y1, x0:x1]
+    mask = (ys - cy) ** 2 + (xs - cx) ** 2 <= r * r
+    img[y0:y1, x0:x1][mask] = color
+
+
+def render_drift_frames(
+    positions: np.ndarray,           # (T, B, 2) world xy
+    yaws: Optional[np.ndarray] = None,  # (T, B)
+    size: int = 400,
+    extent: float = 3.0,
+    track: Tuple[float, float, float, float] = (0.8, 0.8, 0.3, 2.0),
+    max_cars: int = 16,
+    trail: int = 25,
+) -> np.ndarray:
+    """Rasterize (T, size, size, 3) uint8 frames: oval track + car trails.
+
+    `track` = (line_radius, straight, corner_in, corner_out) — the reference
+    drift constants (mushr_drift_env_cfg.py:27-32)."""
+    line_r, straight, r_in, r_out = track
+    T, B = positions.shape[:2]
+    B = min(B, max_cars)
+    scale = size / (2 * extent)
+
+    def to_px(xy):
+        return (xy[..., 0] * scale + size / 2, size / 2 - xy[..., 1] * scale)
+
+    # static background: track boundaries + center line
+    bg = np.full((size, size, 3), 30, np.uint8)
+    ys, xs = np.mgrid[0:size, 0:size].astype(np.float32)
+    wx = (xs - size / 2) / scale
+    wy = (size / 2 - ys) / scale
+    on_straight = np.abs(wy) < straight
+    d_corner = np.where(
+        wy > 0,
+        np.sqrt(wx**2 + (wy - straight) ** 2),
+        np.sqrt(wx**2 + (wy + straight) ** 2))
+    d = np.where(on_straight, np.abs(wx), d_corner)
+    band = lambda r, w: np.abs(d - r) < w
+    bg[band(r_in, 0.03)] = (90, 60, 60)
+    bg[band(r_out, 0.03)] = (90, 60, 60)
+    bg[band(line_r, 0.015)] = (70, 70, 110)
+
+    colors = (np.stack([
+        64 + 191 * np.abs(np.sin(np.arange(B))),
+        64 + 191 * np.abs(np.sin(np.arange(B) * 1.7 + 1)),
+        64 + 191 * np.abs(np.sin(np.arange(B) * 2.3 + 2)),
+    ], -1)).astype(np.uint8)
+
+    frames = np.empty((T, size, size, 3), np.uint8)
+    for t in range(T):
+        frame = bg.copy()
+        for b in range(B):
+            t0 = max(0, t - trail)
+            px, py = to_px(positions[t0:t + 1, b])
+            for i in range(len(px) - 1):
+                _draw_disk(frame, px[i], py[i], 1.0, colors[b] // 2)
+            cx, cy = to_px(positions[t, b])
+            _draw_disk(frame, cx, cy, 3.5, colors[b])
+            if yaws is not None:
+                hx = cx + 6 * np.cos(yaws[t, b])
+                hy = cy - 6 * np.sin(yaws[t, b])
+                _draw_disk(frame, hx, hy, 1.5, colors[b])
+        frames[t] = frame
+    return frames
+
+
+def save_video(frames: np.ndarray, path: str, fps: int = 50) -> str:
+    """Encode frames; falls back to .npy when no encoder is present."""
+    try:
+        import av  # noqa: F401
+
+        container = av.open(path, "w")
+        stream = container.add_stream("mjpeg", rate=fps)
+        stream.height, stream.width = frames.shape[1:3]
+        stream.pix_fmt = "yuvj420p"
+        for f in frames:
+            for packet in stream.encode(
+                    av.VideoFrame.from_ndarray(f, format="rgb24")):
+                container.mux(packet)
+        for packet in stream.encode():
+            container.mux(packet)
+        container.close()
+        return path
+    except ImportError:
+        alt = path.rsplit(".", 1)[0] + ".npy"
+        np.save(alt, frames)
+        return alt
