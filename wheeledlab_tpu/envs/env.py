@@ -43,6 +43,8 @@ class EnvCfg:
     action: ActionMapCfg = ActionMapCfg()
     enable_corruption: bool = True  # observation noise on/off (play: off)
     events_enabled: bool = True     # DR + pushes on/off (play variants)
+    use_pallas: str = "auto"        # "auto" | "on" | "off": fused physics
+                                    # kernel (flat terrain only)
 
     @property
     def step_dt(self) -> float:
@@ -168,6 +170,14 @@ class WheeledEnv:
         self.action_dim = 2
         self.max_episode_length = task.cfg.max_episode_length
         self._reward_names = [t.name for t in task.reward_terms]
+        if task.cfg.use_pallas == "on":
+            self._use_pallas = True
+        elif task.cfg.use_pallas == "off":
+            self._use_pallas = False
+        else:  # auto: flat terrain + an actual TPU backend
+            self._use_pallas = (
+                task.terrain.is_flat
+                and jax.default_backend() not in ("cpu", "gpu"))
 
     # ------------------------------------------------------------------ reset
 
@@ -212,11 +222,23 @@ class WheeledEnv:
         # 1. action -> joint targets (action manager)
         steer_t, wheel_t = action_to_targets(action, cfg.action)
 
-        # 2. physics decimation loop (PhysX-equivalent)
-        vehicle, aux = jax.vmap(
-            sim_step, in_axes=(0, 0, None, 0, 0, None, None)
-        )(state.vehicle, state.params, task.terrain, steer_t, wheel_t,
-          cfg.sim_dt, cfg.decimation)
+        # 2. physics decimation loop (PhysX-equivalent). Two backends with
+        # identical math: the fused Pallas kernel (flat ground, state resident
+        # in VMEM across substeps) or the general vmapped XLA path.
+        if self._use_pallas:
+            from ..ops.pallas_substep import pallas_step
+            from ..sim.soa import pack_params, pack_state, unpack_state
+
+            packed = pallas_step(
+                pack_state(state.vehicle),
+                pack_params(state.params, task.terrain.friction),
+                steer_t.T, wheel_t.T, cfg.sim_dt, cfg.decimation)
+            vehicle, aux = unpack_state(packed), None
+        else:
+            vehicle, aux = jax.vmap(
+                sim_step, in_axes=(0, 0, None, 0, 0, None, None)
+            )(state.vehicle, state.params, task.terrain, steer_t, wheel_t,
+              cfg.sim_dt, cfg.decimation)
 
         # 3. interval events: velocity pushes
         vehicle, push_timers = self._apply_pushes(
