@@ -67,6 +67,19 @@ def render_drift_frames(
     ], -1)).astype(np.uint8)
 
     frames = np.empty((T, size, size, 3), np.uint8)
+    frames[:] = bg
+
+    # native C++ rasterizer (wheeledlab_tpu/native) when available
+    from .. import native
+
+    px = positions[:, :B, 0] * scale + size / 2
+    py = size / 2 - positions[:, :B, 1] * scale
+    pos_px = np.stack([px, py], axis=-1).astype(np.float32)
+    if native.rasterize_trajectories(
+            frames, pos_px, None if yaws is None else yaws[:, :B],
+            colors, trail):
+        return frames
+
     for t in range(T):
         frame = bg.copy()
         for b in range(B):

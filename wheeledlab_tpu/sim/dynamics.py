@@ -89,11 +89,13 @@ def _tire_forces(v_long: jax.Array, v_lat: jax.Array, wheel_omega: jax.Array,
     |d(fx)/d(wheel_omega)| used for the implicit wheel-spin update."""
     r = params.wheel_radius
     b, c = params.tire_stiffness, params.tire_shape
+    from .soa import atan_approx  # shared curve; keeps Pallas/XLA bit-aligned
+
     denom = jnp.maximum(jnp.abs(v_long), 0.6)
     sx = (wheel_omega * r - v_long) / denom
     sy = -v_lat / denom
     s = jnp.sqrt(sx * sx + sy * sy + 1e-9)
-    f_norm = jnp.sin(c * jnp.arctan(b * s))
+    f_norm = jnp.sin(c * atan_approx(b * s))
     scale = mu * fz * f_norm / s
     fx = scale * sx
     fy = scale * sy

@@ -22,6 +22,19 @@ import jax.numpy as jnp
 
 from .types import VehicleParams, VehicleState
 
+def atan_approx(x: jax.Array) -> jax.Array:
+    """Full-range arctan approximation (max err ~0.0038 rad) from the
+    classic quadratic minimax on [0, 1] + reciprocal identity. Used for the
+    tire curve in BOTH the XLA and Pallas paths — Mosaic has no atan
+    lowering, and sharing the approximation keeps the two paths bit-aligned."""
+    a = jnp.abs(x)
+    small = a <= 1.0
+    z = jnp.where(small, a, 1.0 / jnp.maximum(a, 1e-30))
+    p = z * (jnp.pi / 4 + 0.273 * (1.0 - z))
+    r = jnp.where(small, p, jnp.pi / 2 - p)
+    return jnp.sign(x) * r
+
+
 # State packing: rows of the (NUM_STATE, B) matrix
 POS = slice(0, 3)
 QUAT = slice(3, 7)
@@ -204,7 +217,7 @@ def substep_soa(state: jax.Array, params: jax.Array,
         sx = (om * radius - v_long) / sdenom
         sy = -v_lat / sdenom
         s = jnp.sqrt(sx * sx + sy * sy + 1e-9)
-        f_norm = jnp.sin(tire_c * jnp.arctan(tire_b * s))
+        f_norm = jnp.sin(tire_c * atan_approx(tire_b * s))
         scale = mu * fz * f_norm / s
         fx_tire = scale * sx
         fy_tire = scale * sy

@@ -78,9 +78,21 @@ def generate_traversability_map(
     env_size=(100, 100),
     sub_group_size=(50, 50),
     num_walkers: int = 1,
+    backend: str = "numpy",
 ) -> np.ndarray:
     """Full map: grid of sub-envs each carved independently, then dilated with
-    the reference's asymmetric L1 structure (visual/utils/__init__.py:78-86)."""
+    the reference's asymmetric L1 structure (visual/utils/__init__.py:78-86).
+
+    backend="native" uses the C++ generator (wheeledlab_tpu/native) — same
+    algorithm with its own deterministic RNG stream; "numpy" (default) keeps
+    the reference-aligned Python implementation."""
+    if backend == "native":
+        from ... import native
+
+        grid = native.generate_traversability_map(
+            seed, map_size, env_size, sub_group_size, num_walkers)
+        if grid is not None:
+            return grid
     rng = np.random.default_rng(seed)
     rows, cols = map_size
     e_rows, e_cols = env_size
