@@ -52,13 +52,13 @@ def main(argv=None):
         k: (tuple(v) if isinstance(v, list) else v)
         for k, v in saved["agent"].items()})
 
-    # restore params from the full-TrainState checkpoint via the train env
+    # restore params from the full-TrainState checkpoint: build only an
+    # abstract template (eval_shape — no device compute) and restore into it
     train_env = make_env(task_name, num_envs=saved["num_envs"])
     init_fn, _, policy_apply = make_ppo(train_env, agent_cfg)
     template = jax.eval_shape(init_fn, jax.random.PRNGKey(0))
-    state = jax.jit(init_fn)(jax.random.PRNGKey(0))
     mgr = _checkpoint_manager(run_dir)
-    state = restore_checkpoint(mgr, args.checkpoint, state)
+    state = restore_checkpoint(mgr, args.checkpoint, template)
     params = state.params
 
     env_state, obs = jax.jit(env.reset)(jax.random.PRNGKey(args.num_envs))

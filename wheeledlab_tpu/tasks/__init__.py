@@ -14,18 +14,20 @@ def _register_all():
     if "MushrDriftRL-v0" in TASKS:
         return
 
+    # Play variants mirror the reference (mushr_drift_env_cfg.py:410-430):
+    # deterministic resets + terminations stripped; DR events and obs
+    # corruption stay ON (sim2real realism).
     TASKS.register("MushrDriftRL-v0", {
         "cfg": DriftTaskCfg(),
-        "play_cfg": DriftTaskCfg(enable_corruption=False, events_enabled=False,
-                                 pos_noise=0.0, yaw_noise=0.0),
+        "play_cfg": DriftTaskCfg(pos_noise=0.0, yaw_noise=0.0,
+                                 terminations_enabled=False),
         "make": make_drift_env,
     })
     TASKS.register("F1TenthDriftRL-v0", {
         "cfg": DriftTaskCfg(robot="f1tenth", num_envs=256),
         "play_cfg": DriftTaskCfg(robot="f1tenth", num_envs=256,
-                                 enable_corruption=False,
-                                 events_enabled=False,
-                                 pos_noise=0.0, yaw_noise=0.0),
+                                 pos_noise=0.0, yaw_noise=0.0,
+                                 terminations_enabled=False),
         "make": make_drift_env,
     })
 
@@ -34,7 +36,7 @@ def _register_all():
 
         TASKS.register("MushrElevationRL-v0", {
             "cfg": ElevationTaskCfg(),
-            "play_cfg": ElevationTaskCfg(events_enabled=False),
+            "play_cfg": ElevationTaskCfg(terminations_enabled=False),
             "make": make_elevation_env,
         })
     except ImportError:
@@ -45,8 +47,7 @@ def _register_all():
 
         TASKS.register("MushrVisualRL-v0", {
             "cfg": VisualTaskCfg(),
-            "play_cfg": VisualTaskCfg(enable_corruption=False,
-                                      events_enabled=False),
+            "play_cfg": VisualTaskCfg(terminations_enabled=False),
             "make": make_visual_env,
         })
     except ImportError:

@@ -62,6 +62,8 @@ class DriftTaskCfg:
     motor_damping_range: Tuple[float, float] = (10.0, 50.0)
     enable_corruption: bool = True
     events_enabled: bool = True
+    terminations_enabled: bool = True  # Play variant strips terminations
+                                       # (reference mushr_drift_env_cfg.py:425-427)
     ground_friction: float = 1.0     # carpet dynamic friction (:45-50)
 
 
@@ -286,6 +288,14 @@ def make_drift_task(cfg: DriftTaskCfg) -> TaskModel:
         state = VehicleState.zero((num,))
         return state.replace(pos=pos, quat=quat)
 
+    termination_fns = (
+        {"out_of_bounds": cart_off_track} if cfg.terminations_enabled else {})
+
+    def term_pens_safe(ctx):
+        if not cfg.terminations_enabled:
+            return jnp.zeros(ctx.vehicle.pos.shape[0], jnp.float32)
+        return term_pens(ctx)
+
     reward_terms = (
         RewardTerm("side_slip", 10.0, side_slip),
         RewardTerm("vel", -5.0, vel_dist),
@@ -293,7 +303,7 @@ def make_drift_task(cfg: DriftTaskCfg) -> TaskModel:
         RewardTerm("tlgr", 0.0, turn_left_go_right),
         RewardTerm("turn_energy", 20.0, energy_through_turn),
         RewardTerm("cross_track", -50.0, cross_track_dist),
-        RewardTerm("term_pens", -5000.0, term_pens),
+        RewardTerm("term_pens", -5000.0, term_pens_safe),
     )
 
     curriculum = (
@@ -318,7 +328,7 @@ def make_drift_task(cfg: DriftTaskCfg) -> TaskModel:
         init_params=init_params,
         sample_spawn=sample_spawn,
         reward_terms=reward_terms,
-        termination_fns={"out_of_bounds": cart_off_track},
+        termination_fns=termination_fns,
         observe=observe,
         curriculum=curriculum,
         pushes=pushes,

@@ -55,6 +55,7 @@ class ElevationTaskCfg:
     mass_delta_range: Tuple[float, float] = (0.2, 0.5)
     wheel_friction: float = 1.0   # dynamic friction fixed at 1.0 (:391-393)
     events_enabled: bool = True
+    terminations_enabled: bool = True  # Play strips terminations (:472-475)
     enable_corruption: bool = False  # reference ConcatObs disables corruption
 
 
@@ -89,6 +90,8 @@ def is_falling_penalty(ctx: StepCtx, max_body_z_vel: float = 0.10) -> jax.Array:
 
 def stuck_term_penalty(ctx: StepCtx) -> jax.Array:
     """is_terminated_term on 'stuck' (:301-305)."""
+    if ctx.term_flags is None or "stuck" not in ctx.term_flags:
+        return jnp.zeros(ctx.vehicle.pos.shape[0], jnp.float32)
     return ctx.term_flags["stuck"].astype(jnp.float32)
 
 
@@ -237,12 +240,12 @@ def make_elevation_task(cfg: ElevationTaskCfg) -> TaskModel:
         init_params=init_params,
         sample_spawn=sample_spawn,
         reward_terms=reward_terms,
-        termination_fns={
+        termination_fns=({
             "cart_out_of_bounds": below_height,
             "stuck": stuck,
             "rollover": rollover,
             "at_goal": at_goal,
-        },
+        } if cfg.terminations_enabled else {}),
         observe=elevation_obs,
         curriculum=curriculum,
         command=command,

@@ -90,3 +90,61 @@ def render(colormap: ColorMap, pos: jax.Array, quat: jax.Array) -> jax.Array:
     if pos.ndim == 1:
         return one(cam_pos, quat)
     return jax.vmap(one)(cam_pos, quat)
+
+
+def render_depth(pos: jax.Array, quat: jax.Array) -> jax.Array:
+    """Distance-to-ground-plane depth image (..., HEIGHT, WIDTH) — the
+    `camera_data_depth` obs variant (reference
+    visual/mdp_sensors/observations.py:89-91). Above-horizon pixels clamp to
+    the far clip (100 m, PinholeCameraCfg clipping_range)."""
+    far = 100.0
+    cam_pos = pos + wmath.quat_rotate(quat, jnp.broadcast_to(
+        CAM_OFFSET_B, pos.shape))
+
+    def one(cp, q):
+        d_world = wmath.quat_rotate(q[None, None, :], _RAYS)
+        dz = d_world[..., 2]
+        t = -cp[2] / jnp.where(dz < -1e-6, dz, -1e-6)
+        return jnp.where(dz < -1e-6, jnp.minimum(t, far), far)
+
+    if pos.ndim == 1:
+        return one(cam_pos, quat)
+    return jax.vmap(one)(cam_pos, quat)
+
+
+def lidar_ranges(colormap: ColorMap, pos: jax.Array, quat: jax.Array,
+                 num_beams: int = 360, max_range: float = 10.0) -> jax.Array:
+    """Planar lidar ranges to non-traversable cells — the `lidar_ranges` obs
+    term (reference visual/mdp_sensors/observations.py:25-33; defined but
+    unused by registered reference tasks, provided for completeness).
+    Ray-marches the traversability grid: a hit is the first sample whose cell
+    is non-traversable. Returns (..., num_beams)."""
+    n_samples = 64
+    angles = jnp.linspace(0.0, 2 * jnp.pi, num_beams, endpoint=False)
+    ts = jnp.linspace(0.1, max_range, n_samples)
+
+    def one(p, q):
+        yaw = wmath.yaw_from_quat(q)
+        dirs = jnp.stack(
+            [jnp.cos(yaw + angles), jnp.sin(yaw + angles)], -1)  # (beams, 2)
+        pts = p[None, None, :2] + ts[None, :, None] * dirs[:, None, :]
+        free = colormap.sample(pts) > 0.5          # (beams, n_samples)
+        blocked = ~free
+        any_hit = blocked.any(axis=1)
+        first = jnp.argmax(blocked, axis=1)
+        return jnp.where(any_hit, ts[first], max_range)
+
+    if pos.ndim == 1:
+        return one(pos, quat)
+    return jax.vmap(one)(pos, quat)
+
+
+def lidar_ranges_normalized(colormap: ColorMap, pos: jax.Array,
+                            quat: jax.Array, key: jax.Array,
+                            num_beams: int = 360, max_range: float = 10.0,
+                            noise_std: float = 0.1) -> jax.Array:
+    """Noisy normalized lidar (reference observations.py:35-59)."""
+    r = lidar_ranges(colormap, pos, quat, num_beams, max_range)
+    r = r + noise_std * jax.random.normal(key, r.shape)
+    r = jnp.clip(r, 0.0, max_range)
+    return r / max_range

@@ -58,6 +58,7 @@ class VisualTaskCfg:
     base_mass_range: Tuple[float, float] = (1.0, 3.0)    # abs
     wheel_mass_range: Tuple[float, float] = (0.01, 0.3)  # abs -> spin inertia
     events_enabled: bool = True
+    terminations_enabled: bool = True  # Play strips terminations (:455-470)
     enable_corruption: bool = True   # Unoise on vel/action obs (:46-52)
 
 
@@ -194,7 +195,8 @@ def make_visual_task(cfg: VisualTaskCfg) -> TaskModel:
         init_params=init_params,
         sample_spawn=sample_spawn,
         reward_terms=reward_terms,
-        termination_fns={"out_range": out_of_map},
+        termination_fns=({"out_range": out_of_map}
+                         if cfg.terminations_enabled else {}),
         observe=observe,
     )
 
