@@ -46,6 +46,8 @@ class TrainCfg:
     num_iterations: int = 5000
     load_run: Optional[str] = None
     load_run_checkpoint: int = 0
+    profile: bool = False            # capture a jax.profiler device trace of
+                                     # iterations 10-12 into <run_dir>/trace
     log: LogCfg = LogCfg()
 
 
@@ -155,6 +157,10 @@ def train(run_cfg: RunConfig, env=None, max_iterations: Optional[int] = None,
     t0 = time.time()
     last_metrics: Dict[str, float] = {}
     for it in range(int(state.iteration), n_iter):
+        if run_cfg.train.profile and it == 10:
+            jax.profiler.start_trace(os.path.join(run_dir, "trace"))
+        if run_cfg.train.profile and it == 13:
+            jax.profiler.stop_trace()
         state, metrics = iter_jit(state)
         if (it + 1) % log_cfg.log_every == 0 or it == n_iter - 1:
             host = {k: float(np.asarray(v)) for k, v in metrics.items()}
