@@ -59,6 +59,29 @@ class TestSmoke:
         assert bool(jnp.any(touts))  # some envs survive to timeout and truncate
 
 
+class TestF1Tenth:
+    def test_f1tenth_variant_steps(self):
+        """F1Tenth drift variant: 4WD map, F1Tenth geometry/actuators
+        (reference f1tenth_drift_env_cfg.py)."""
+        env = make_drift_env(DriftTaskCfg(robot="f1tenth", num_envs=8))
+        assert env.cfg.action.drivetrain == "4wd"
+        assert env.cfg.action.base_length == 0.365
+        state, obs = jax.jit(env.reset)(jax.random.PRNGKey(0))
+        step = jax.jit(env.step)
+
+        def body(s, k):
+            a = jax.random.uniform(k, (8, 2), minval=-1, maxval=1)
+            s, out = step(s, a)
+            return s, out.reward
+
+        keys = jax.random.split(jax.random.PRNGKey(1), 20)
+        state, rews = jax.lax.scan(body, state, keys)
+        assert jnp.all(jnp.isfinite(ravel_pytree(state.vehicle)[0]))
+        assert jnp.all(jnp.isfinite(rews))
+        # all four wheels driven
+        assert float(state.params.drive_mask.sum()) == 8 * 4.0
+
+
 class TestTrackGeometry:
     def test_reference_poses_on_track(self):
         poses = np.asarray(reference_track_poses(jax.random.PRNGKey(3), CFG16))

@@ -47,12 +47,14 @@ class ActorCritic(nn.Module):
         value = MLP(self.critic_hidden, 1, self.activation,
                     name="critic")(obs)[..., 0]
         # log-std parameterization (rsl_rl stores std directly; log keeps it
-        # positive under gradient steps — behaviorally equivalent)
+        # positive under gradient steps — behaviorally equivalent). Clamped:
+        # with clip-bounded actions the entropy bonus otherwise inflates std
+        # without cost over long runs.
         log_std = self.param(
             "log_std",
             lambda key, shape: jnp.full(shape, jnp.log(self.init_noise_std)),
             (self.action_dim,))
-        std = jnp.exp(log_std)
+        std = jnp.exp(jnp.clip(log_std, -5.0, 2.0))
         std = jnp.broadcast_to(std, mean.shape)
         return mean, std, value
 
