@@ -31,6 +31,30 @@ class TestMesh:
         assert mesh.devices.shape == (4, 2)
 
 
+class TestTensorParallel:
+    def test_model_parallel_policy_forward(self):
+        """TP placement (SURVEY.md §2c): Dense kernels sharded over `model`;
+        forward pass on a (data=4, model=2) mesh matches replicated output."""
+        from wheeledlab_tpu.parallel.mesh import shard_params_model_parallel
+        from wheeledlab_tpu.rl.networks import ActorCritic
+
+        model = ActorCritic(action_dim=2)
+        params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 14)))
+        obs = jax.random.normal(jax.random.PRNGKey(1), (16, 14))
+        ref_mean, ref_std, ref_val = model.apply(params, obs)
+
+        mesh = make_mesh(8, model_parallel=2)
+        tp_params = shard_params_model_parallel(params, mesh)
+        kernel = tp_params["params"]["actor"]["Dense_0"]["kernel"]
+        assert not kernel.sharding.is_fully_replicated
+        with jax.sharding.set_mesh(mesh):
+            mean, std, val = jax.jit(model.apply)(tp_params, obs)
+        np.testing.assert_allclose(np.asarray(mean), np.asarray(ref_mean),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(val), np.asarray(ref_val),
+                                   rtol=1e-5, atol=1e-5)
+
+
 class TestShardedTraining:
     def test_full_train_step_on_mesh(self):
         """Env batch sharded over 8 devices; full PPO step compiles and runs;

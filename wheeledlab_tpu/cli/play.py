@@ -70,25 +70,47 @@ def main(argv=None):
             mean, _, _ = policy_apply(params, o)   # deterministic policy
             s, out = env.step(s, mean)
             yaw = wmath.yaw_from_quat(s.vehicle.quat)
-            return (s, out.obs), (o, mean, s.vehicle.pos, yaw, out.reward)
+            return (s, out.obs), (o, mean, s.vehicle.pos, yaw, out.reward,
+                                  s.command)
 
         (env_state, obs), traj = jax.lax.scan(
             body, (env_state, obs), None, length=args.steps)
         return traj
 
-    obs_t, act_t, pos_t, yaw_t, rew_t = [np.asarray(x) for x in rollout(env_state, obs)]
+    obs_t, act_t, pos_t, yaw_t, rew_t, cmd_t = [
+        np.asarray(x) for x in rollout(env_state, obs)]
     play_dir = os.path.join(run_dir, "play")
     os.makedirs(play_dir, exist_ok=True)
     out_path = os.path.join(play_dir, f"{args.run}-rollouts.npz")
     np.savez_compressed(out_path, observations=obs_t, actions=act_t,
-                        positions=pos_t, yaws=yaw_t, rewards=rew_t)
+                        positions=pos_t, yaws=yaw_t, rewards=rew_t,
+                        commands=cmd_t)
     print(f"saved rollouts to {out_path}  "
           f"(obs {obs_t.shape}, mean reward {rew_t.mean():.3f})")
 
     if args.video:
-        from ..render.topdown import render_drift_frames, save_video
+        from ..render.topdown import (
+            render_drift_frames, render_map_frames, save_video,
+        )
 
-        frames = render_drift_frames(pos_t[:, :, :2], yaw_t)
+        if "Drift" in task_name:
+            frames = render_drift_frames(pos_t[:, :, :2], yaw_t)
+        elif "Elevation" in task_name:
+            hf = env.task.terrain
+            frames = render_map_frames(
+                pos_t[:, :, :2], np.asarray(hf.height).T, float(hf.cell),
+                yaws=yaw_t, goals=cmd_t[:, :, :2])
+        else:  # visual: traversability map background
+            from ..tasks.visual.map_gen import generate_traversability_map
+            from ..tasks.visual.task import VisualTaskCfg
+
+            vc = VisualTaskCfg()
+            grid = generate_traversability_map(
+                vc.seed, (vc.map_rows, vc.map_cols),
+                (vc.env_rows, vc.env_cols), (vc.group_rows, vc.group_cols),
+                vc.num_walkers)
+            frames = render_map_frames(
+                pos_t[:, :, :2], grid.astype(np.float32), vc.cell, yaws=yaw_t)
         vid = save_video(frames, os.path.join(play_dir, f"{args.run}.avi"))
         print(f"saved video to {vid}")
 

@@ -74,6 +74,27 @@ def shard_train_state(train_state, mesh: Mesh, num_envs: int):
     )
 
 
+def shard_params_model_parallel(params, mesh: Mesh):
+    """Tensor-parallel placement for policy params: Dense kernels shard their
+    output dim over `model`, biases likewise; everything else replicates.
+    Off by default (the reference policy is a [64, 64] MLP — SURVEY.md §2c),
+    but large swapped-in policies (see rl/networks.py docstring) get TP by
+    passing the placed params into the same jitted step: GSPMD inserts the
+    activation collectives."""
+
+    m = mesh.shape[MODEL_AXIS]
+
+    def place(path, x):
+        names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+        if x.ndim == 2 and "kernel" in names and x.shape[1] % m == 0:
+            return jax.device_put(x, NamedSharding(mesh, P(None, MODEL_AXIS)))
+        if x.ndim == 1 and "bias" in names and x.shape[0] % m == 0:
+            return jax.device_put(x, NamedSharding(mesh, P(MODEL_AXIS)))
+        return jax.device_put(x, replicated(mesh))
+
+    return jax.tree_util.tree_map_with_path(place, params)
+
+
 def constrain_batch(x, mesh: Mesh):
     """with_sharding_constraint on the leading env axis — used inside jitted
     code to pin intermediate layouts."""

@@ -97,6 +97,65 @@ def render_drift_frames(
     return frames
 
 
+def render_map_frames(
+    positions: np.ndarray,            # (T, B, 2) world xy
+    background_grid: np.ndarray,      # (rows, cols) intensity or height
+    cell: float,
+    yaws: Optional[np.ndarray] = None,
+    goals: Optional[np.ndarray] = None,   # (T, B, 2) goal xy (elevation task)
+    size: int = 480,
+    max_cars: int = 16,
+    trail: int = 40,
+) -> np.ndarray:
+    """Top-down frames over a grid-world background (visual task map or
+    elevation heightfield). Grid convention: world x -> cols, y -> rows,
+    centered at the origin."""
+    rows, cols = background_grid.shape
+    extent = max(rows, cols) * cell / 2
+    scale = size / (2 * extent)
+    T, B = positions.shape[:2]
+    B = min(B, max_cars)
+
+    # background: sample grid under each pixel
+    ys, xs = np.mgrid[0:size, 0:size].astype(np.float32)
+    wx = (xs - size / 2) / scale
+    wy = (size / 2 - ys) / scale
+    ci = np.clip(((wx + cols * cell / 2) / cell).astype(int), 0, cols - 1)
+    ri = np.clip(((wy + rows * cell / 2) / cell).astype(int), 0, rows - 1)
+    g = background_grid[ri, ci].astype(np.float32)
+    g = (g - g.min()) / max(g.max() - g.min(), 1e-6)
+    bg = np.stack([30 + 160 * g] * 3, axis=-1).astype(np.uint8)
+
+    colors = (np.stack([
+        64 + 191 * np.abs(np.sin(np.arange(B))),
+        64 + 191 * np.abs(np.sin(np.arange(B) * 1.7 + 1)),
+        64 + 191 * np.abs(np.sin(np.arange(B) * 2.3 + 2)),
+    ], -1)).astype(np.uint8)
+
+    frames = np.empty((T, size, size, 3), np.uint8)
+    frames[:] = bg
+
+    from .. import native
+
+    px = positions[:, :B, 0] * scale + size / 2
+    py = size / 2 - positions[:, :B, 1] * scale
+    pos_px = np.stack([px, py], axis=-1).astype(np.float32)
+    drew = native.rasterize_trajectories(
+        frames, pos_px, None if yaws is None else yaws[:, :B], colors, trail)
+    if not drew:
+        for t in range(T):
+            for b in range(B):
+                _draw_disk(frames[t], pos_px[t, b, 0], pos_px[t, b, 1], 3.5,
+                           colors[b])
+    if goals is not None:
+        for t in range(T):
+            for b in range(B):
+                gx = goals[t, b, 0] * scale + size / 2
+                gy = size / 2 - goals[t, b, 1] * scale
+                _draw_disk(frames[t], gx, gy, 2.5, (255, 255, 255))
+    return frames
+
+
 def save_video(frames: np.ndarray, path: str, fps: int = 50) -> str:
     """Encode frames; falls back to .npy when no encoder is present."""
     try:

@@ -187,23 +187,23 @@ def make_ppo(env: WheeledEnv, cfg: PPOCfg):
         return (params, opt_state), metrics
 
     def update_epochs(key, params, opt_state, dataset):
-        """dataset: tuple of arrays flattened to [N, ...]."""
+        """dataset: tuple of arrays flattened to [N, ...]. One permutation
+        shared across epochs — exactly rsl_rl's mini_batch_generator (and one
+        gather pass instead of num_epochs)."""
         n = dataset[0].shape[0]
         mb_size = n // cfg.num_mini_batches
+        perm = jax.random.permutation(key, n)
+        batched = tuple(
+            x[perm][: mb_size * cfg.num_mini_batches].reshape(
+                (cfg.num_mini_batches, mb_size) + x.shape[1:])
+            for x in dataset)
 
-        def epoch(carry, key_e):
-            perm = jax.random.permutation(key_e, n)
-            shuffled = tuple(x[perm] for x in dataset)
-            batched = tuple(
-                x[: mb_size * cfg.num_mini_batches].reshape(
-                    (cfg.num_mini_batches, mb_size) + x.shape[1:])
-                for x in shuffled)
+        def epoch(carry, _):
             carry, metrics = jax.lax.scan(minibatch_update, carry, batched)
             return carry, metrics
 
-        keys = jax.random.split(key, cfg.num_learning_epochs)
         (params, opt_state), metrics = jax.lax.scan(
-            epoch, (params, opt_state), keys)
+            epoch, (params, opt_state), None, length=cfg.num_learning_epochs)
         return params, opt_state, metrics.reshape(-1, 5).mean(0)
 
     # ------------------------------------------------------ full iteration
