@@ -23,11 +23,25 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num-envs", type=int, default=None)
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--max-iterations", type=int, default=None)
+    p.add_argument("-m", "--multirun", action="store_true",
+                   help="treat comma-separated override values as a sweep "
+                        "(Hydra multirun parity): a.b=1e-3,5e-4 runs twice")
     p.add_argument("--headless", action="store_true",
                    help="accepted for reference-CLI compatibility (no-op)")
     p.add_argument("--video", action="store_true",
                    help="accepted for reference-CLI compatibility (no-op)")
     return p
+
+
+def _sweep_product(overrides):
+    """Expand {k: 'v1,v2'} into the cartesian product of single-value
+    override dicts (Hydra multirun grammar)."""
+    import itertools
+
+    keys = list(overrides)
+    value_lists = [str(overrides[k]).split(",") for k in keys]
+    for combo in itertools.product(*value_lists):
+        yield dict(zip(keys, combo))
 
 
 def main(argv=None):
@@ -39,22 +53,29 @@ def main(argv=None):
     from ..utils.config import RUN_CONFIGS, apply_overrides, parse_cli_overrides
     import wheeledlab_tpu.rl  # noqa: F401  registers run configs
 
-    cfg = RUN_CONFIGS.get(args.run_config)
+    base = RUN_CONFIGS.get(args.run_config)
     overrides = parse_cli_overrides(extra)
     # accept reference-style `env.num_envs=` / `agent.*=` / `train.*=` paths
     remapped = {}
     for k, v in overrides.items():
         remapped[k.replace("env.num_envs", "num_envs")] = v
-    cfg = apply_overrides(cfg, remapped)
-    if args.num_envs is not None:
-        cfg = cfg.replace(num_envs=args.num_envs)
-    if args.seed is not None:
-        cfg = cfg.replace(train=cfg.train.replace(seed=args.seed))
-    if args.max_iterations is not None:
-        cfg = cfg.replace(train=cfg.train.replace(
-            num_iterations=args.max_iterations))
 
-    train(cfg)
+    sweeps = list(_sweep_product(remapped)) if args.multirun else [remapped]
+    for i, once in enumerate(sweeps):
+        cfg = apply_overrides(base, once)
+        if args.num_envs is not None:
+            cfg = cfg.replace(num_envs=args.num_envs)
+        if args.seed is not None:
+            cfg = cfg.replace(train=cfg.train.replace(seed=args.seed))
+        if args.max_iterations is not None:
+            cfg = cfg.replace(train=cfg.train.replace(
+                num_iterations=args.max_iterations))
+        if args.multirun and len(sweeps) > 1:
+            name = cfg.train.log.run_name or "sweep"
+            cfg = cfg.replace(train=cfg.train.replace(
+                log=cfg.train.log.replace(run_name=f"{name}-{i}")))
+            print(f"--- multirun {i + 1}/{len(sweeps)}: {once}", flush=True)
+        train(cfg)
 
 
 if __name__ == "__main__":

@@ -174,9 +174,10 @@ class WheeledEnv:
             self._use_pallas = True
         elif task.cfg.use_pallas == "off":
             self._use_pallas = False
-        else:  # auto: flat terrain + an actual TPU backend
+        else:  # auto: flat terrain + an actual TPU backend + lane-aligned batch
             self._use_pallas = (
                 task.terrain.is_flat
+                and task.cfg.num_envs % 128 == 0
                 and jax.default_backend() not in ("cpu", "gpu"))
 
     # ------------------------------------------------------------------ reset
