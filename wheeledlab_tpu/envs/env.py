@@ -252,9 +252,12 @@ class WheeledEnv:
         command, command_timer = self._update_command(
             k_cmd, state.command, state.command_timer)
 
+        # reward/termination ctx sees the action applied THIS step as
+        # last_action (IsaacLab action_manager semantics)
         ctx = self._make_ctx(
             state.replace(vehicle=vehicle, command=command,
-                          step_count=step_count, common_step=common_step),
+                          step_count=step_count, common_step=common_step,
+                          last_action=action),
             prev_vehicle, aux)
 
         # 5. terminations (before reset; parity with termination_manager)
