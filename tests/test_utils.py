@@ -1,0 +1,117 @@
+"""Utils tests: config override grammar, registry, quaternion math."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wheeledlab_tpu.utils import math as wmath
+from wheeledlab_tpu.utils.config import (
+    Registry, apply_overrides, configclass, override, parse_cli_overrides,
+    to_dict,
+)
+
+
+@configclass
+class Inner:
+    weight: float = 1.0
+    name: str = "x"
+    flags: tuple = (1.0, 2.0)
+
+
+@configclass
+class Outer:
+    inner: Inner = Inner()
+    count: int = 3
+    enabled: bool = True
+
+
+class TestConfig:
+    def test_override_types(self):
+        cfg = Outer()
+        cfg = override(cfg, "inner.weight", "2.5")     # str -> float
+        cfg = override(cfg, "count", "7")              # str -> int
+        cfg = override(cfg, "enabled", "false")        # str -> bool
+        cfg = override(cfg, "inner.flags", "3.0,4.0")  # str -> tuple
+        assert cfg.inner.weight == 2.5
+        assert cfg.count == 7 and cfg.enabled is False
+        assert cfg.inner.flags == (3.0, 4.0)
+        # original untouched (frozen)
+        assert Outer().inner.weight == 1.0
+
+    def test_bad_path_raises(self):
+        with pytest.raises(KeyError):
+            override(Outer(), "inner.nope", 1)
+
+    def test_parse_cli(self):
+        out = parse_cli_overrides(
+            ["--flag", "a.b=1", "c=x,y", "-r", "NAME", "plain"])
+        assert out == {"a.b": "1", "c": "x,y"}
+
+    def test_to_dict(self):
+        d = to_dict(Outer())
+        assert d["inner"]["weight"] == 1.0
+        assert d["count"] == 3
+
+    def test_registry(self):
+        r = Registry("thing")
+        r.register("a", 1)
+        assert r.get("a") == 1 and "a" in r
+        with pytest.raises(KeyError):
+            r.get("b")
+
+
+class TestQuatMath:
+    def test_rotate_roundtrip(self):
+        key = jax.random.PRNGKey(0)
+        q = wmath.quat_normalize(jax.random.normal(key, (16, 4)))
+        v = jax.random.normal(jax.random.PRNGKey(1), (16, 3))
+        back = wmath.quat_rotate_inverse(q, wmath.quat_rotate(q, v))
+        np.testing.assert_allclose(np.asarray(back), np.asarray(v), atol=1e-5)
+
+    def test_euler_roundtrip(self):
+        rpy = jnp.array([[0.3, -0.4, 1.2], [0.0, 0.0, -2.9], [-1.0, 0.5, 0.1]])
+        q = wmath.quat_from_euler_xyz(rpy[:, 0], rpy[:, 1], rpy[:, 2])
+        back = wmath.euler_xyz_from_quat(q)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(rpy), atol=1e-5)
+
+    def test_yaw_quat(self):
+        yaw = jnp.array([0.5, -2.0, 3.0])
+        q = wmath.quat_from_yaw(yaw)
+        np.testing.assert_allclose(
+            np.asarray(wmath.yaw_from_quat(q)), np.asarray(yaw), atol=1e-6)
+
+    def test_matrix_matches_rotate(self):
+        q = wmath.quat_normalize(jax.random.normal(jax.random.PRNGKey(2), (4,)))
+        v = jnp.array([1.0, -2.0, 0.5])
+        m = wmath.matrix_from_quat(q)
+        np.testing.assert_allclose(
+            np.asarray(m @ v), np.asarray(wmath.quat_rotate(q, v)), atol=1e-5)
+
+    def test_integrate_small_rotation(self):
+        q = wmath.quat_identity()
+        omega = jnp.array([0.0, 0.0, 1.0])
+        for _ in range(100):
+            q = wmath.quat_integrate(q, omega, 0.01)
+        # 1 rad about z
+        np.testing.assert_allclose(float(wmath.yaw_from_quat(q)), 1.0,
+                                   atol=1e-3)
+
+    def test_up_dot(self):
+        # identity: up; 90deg roll: horizontal
+        assert float(wmath.up_dot(wmath.quat_identity())) == pytest.approx(1.0)
+        q = wmath.quat_from_euler_xyz(
+            jnp.asarray(jnp.pi / 2), jnp.asarray(0.0), jnp.asarray(0.0))
+        assert abs(float(wmath.up_dot(q))) < 1e-6
+
+    def test_atan_approx_accuracy(self):
+        from wheeledlab_tpu.sim.soa import atan_approx
+
+        x = jnp.linspace(-50.0, 50.0, 10001)
+        err = jnp.abs(atan_approx(x) - jnp.arctan(x))
+        assert float(err.max()) < 5e-3
+
+
+if __name__ == "__main__":
+    import sys
+    sys.exit(pytest.main([__file__, "-x", "-q"]))

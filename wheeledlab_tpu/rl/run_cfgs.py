@@ -42,6 +42,18 @@ F1TENTH_DRIFT_CONFIG = RunConfig(
     agent=DRIFT_PPO,
 )
 
+# Pod-scale actor-learner (BASELINE.json configs[5]): 64k envs sharded over
+# all chips/hosts on the data mesh feeding the GSPMD-replicated learner.
+# Same train_iteration as single-chip — launch with
+# parallel.distributed.initialize() + shard_train_state on the global mesh
+# (scripts/scale_bench.py shows the pattern).
+POD_DRIFT_CONFIG = RunConfig(
+    task_name="MushrDriftRL-v0",
+    num_envs=65536,
+    train=TrainCfg(num_iterations=5000, log=LogCfg()),
+    agent=DRIFT_PPO,
+)
+
 for _name in ("RSS_DRIFT_CONFIG", "RSS_ELEV_CONFIG", "RSS_VISUAL_CONFIG",
-              "F1TENTH_DRIFT_CONFIG"):
+              "F1TENTH_DRIFT_CONFIG", "POD_DRIFT_CONFIG"):
     RUN_CONFIGS.register(_name, globals()[_name])
