@@ -116,8 +116,7 @@ def substep(state: VehicleState, params: VehicleParams, terrain: Heightfield,
     wheel_world = state.pos[None, :] + jnp.einsum("ab,wb->wa", rot, params.wheel_pos_b)
     contact_pts = wheel_world - jnp.array([0.0, 0.0, 1.0]) * params.wheel_radius
 
-    ground_h = terrain.lookup(wheel_world[:, :2])       # (4,)
-    normals = terrain.normal(wheel_world[:, :2])        # (4, 3)
+    ground_h, normals = terrain.lookup_and_normal(wheel_world[:, :2])  # (4,), (4,3)
     penetration = ground_h + params.wheel_radius - wheel_world[:, 2]
     in_contact = penetration > 0.0
 

@@ -137,17 +137,29 @@ def at_goal(ctx: StepCtx, dist: float = 0.5) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def elevation_obs(ctx: StepCtx, key: jax.Array) -> jax.Array:
-    v = ctx.vehicle
-    goal_rel = jnp.nan_to_num(ctx.command[..., :2] - v.pos[..., :2])
-    euler = wmath.euler_xyz_from_quat(v.quat)
-    yaw = euler[..., 2]
-    # world-corrected height map: terrain height around the robot, yaw-aligned
-    # grid scan == RayCaster GridPattern attach_yaw_only (:132-142), expressed
-    # relative to the robot's ground height like world_height_map (:44-48)
-    scan = ctx.terrain.grid_scan(v.pos[..., :2], yaw, SCAN_SIZE, SCAN_RES)
-    ground = ctx.terrain.lookup(v.pos[..., :2])
-    rel_scan = scan - ground[..., None]
+def make_elevation_obs(scan_field):
+    """Obs fn closure over the scan-resolution terrain texture (prebuilt at
+    task build via Heightfield.resample — single-gather nearest sampling)."""
+
+    def elevation_obs(ctx: StepCtx, key: jax.Array) -> jax.Array:
+        v = ctx.vehicle
+        goal_rel = jnp.nan_to_num(ctx.command[..., :2] - v.pos[..., :2])
+        euler = wmath.euler_xyz_from_quat(v.quat)
+        yaw = euler[..., 2]
+        # world-corrected height map: terrain height around the robot,
+        # yaw-aligned grid scan == RayCaster GridPattern attach_yaw_only
+        # (:132-142), relative to the robot's ground height like
+        # world_height_map (:44-48)
+        scan = scan_field.grid_scan_mxu(v.pos[..., :2], yaw,
+                                        SCAN_SIZE, SCAN_RES)
+        ground = ctx.terrain.lookup(v.pos[..., :2])
+        rel_scan = scan - ground[..., None]
+        return _concat_obs(ctx, goal_rel, euler, rel_scan)
+
+    return elevation_obs
+
+
+def _concat_obs(ctx, goal_rel, euler, rel_scan):
     return jnp.concatenate([
         goal_rel,
         euler,
@@ -170,6 +182,7 @@ def make_elevation_task(cfg: ElevationTaskCfg) -> TaskModel:
         jax.random.fold_in(base_key, 23), extent=cfg.terrain_extent,
         cell=cfg.terrain_cell, num_mounds=cfg.num_mounds,
         friction=cfg.wheel_friction)
+    scan_field = terrain.resample(SCAN_RES)  # fine texture for 1-gather scans
 
     # MUSHR_SUS (4WD) actuators: effort_limit 0.25, all wheels driven
     # (reference hound.py HOUND_SUS_ACTUATOR_CFG + Mushr4WDActionCfg)
@@ -246,7 +259,7 @@ def make_elevation_task(cfg: ElevationTaskCfg) -> TaskModel:
             "rollover": rollover,
             "at_goal": at_goal,
         } if cfg.terminations_enabled else {}),
-        observe=elevation_obs,
+        observe=make_elevation_obs(scan_field),
         curriculum=curriculum,
         command=command,
     )
