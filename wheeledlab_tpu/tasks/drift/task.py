@@ -20,10 +20,10 @@ from ...envs.env import (
 )
 from ...sim.actions import ActionMapCfg
 from ...sim.terrain import Heightfield
-from ...sim.types import (
-    VehicleState, batch_params, default_f1tenth_params, default_mushr_params,
-    with_mass,
+from ...assets import (
+    F1TENTH_4WD_ACTION, F1TENTH_CFG, MUSHR_RWD_ACTION, MUSHR_SUS_2WD_CFG,
 )
+from ...sim.types import VehicleState, batch_params, with_mass
 from ...utils import math as wmath
 from ...utils.config import configclass
 from ..common.observations import BLIND_OBS_DIM, blind_obs
@@ -228,18 +228,14 @@ def make_drift_task(cfg: DriftTaskCfg) -> TaskModel:
     base_key = jax.random.PRNGKey(cfg.seed)
     ref_poses = reference_track_poses(jax.random.fold_in(base_key, 17), cfg)
 
+    # robot assets from the L1 layer (reference: MUSHR_SUS_2WD_CFG at
+    # mushr_drift_env_cfg.py:59; F1TENTH_CFG at f1tenth_drift_env_cfg.py:44)
     if cfg.robot == "mushr":
-        base_params = default_mushr_params()
-        action = ActionMapCfg(drivetrain="rwd", scale=(MAX_SPEED, 0.488),
-                              bounding_strategy="clip", no_reverse=True,
-                              base_length=0.325, base_width=0.2,
-                              wheel_radius=0.05)
+        base_params = MUSHR_SUS_2WD_CFG
+        action = MUSHR_RWD_ACTION
     elif cfg.robot == "f1tenth":
-        base_params = default_f1tenth_params()
-        action = ActionMapCfg(drivetrain="4wd", scale=(MAX_SPEED, 0.488),
-                              bounding_strategy="clip", no_reverse=True,
-                              base_length=0.365, base_width=0.284,
-                              wheel_radius=0.05)
+        base_params = F1TENTH_CFG
+        action = F1TENTH_4WD_ACTION
     else:
         raise ValueError(cfg.robot)
 

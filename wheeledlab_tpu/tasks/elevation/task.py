@@ -18,9 +18,8 @@ from ...envs.env import (
     WheeledEnv,
 )
 from ...sim.actions import ActionMapCfg
-from ...sim.types import (
-    VehicleState, batch_params, default_mushr_params, with_mass,
-)
+from ...assets import MUSHR_4WD_ACTION, MUSHR_SUS_CFG
+from ...sim.types import VehicleState, batch_params, with_mass
 from ...utils import math as wmath
 from ...utils.config import configclass
 from .terrain_gen import generate_elevation_terrain
@@ -184,15 +183,10 @@ def make_elevation_task(cfg: ElevationTaskCfg) -> TaskModel:
         friction=cfg.wheel_friction)
     scan_field = terrain.resample(SCAN_RES)  # fine texture for 1-gather scans
 
-    # MUSHR_SUS (4WD) actuators: effort_limit 0.25, all wheels driven
-    # (reference hound.py HOUND_SUS_ACTUATOR_CFG + Mushr4WDActionCfg)
-    base_params = default_mushr_params().replace(
-        motor_effort_limit=jnp.asarray(0.25, jnp.float32),
-        drive_mask=jnp.ones((4,), jnp.float32))
-    action = ActionMapCfg(drivetrain="4wd", scale=(3.0, 0.488),
-                          bounding_strategy="clip", no_reverse=True,
-                          base_length=0.325, base_width=0.2,
-                          wheel_radius=0.05)
+    # MUSHR_SUS 4WD asset (reference mushr_elevation_env_cfg.py:130 +
+    # Mushr4WDActionCfg)
+    base_params = MUSHR_SUS_CFG
+    action = MUSHR_4WD_ACTION
 
     env_cfg = EnvCfg(
         num_envs=n, sim_dt=cfg.sim_dt, decimation=cfg.decimation,

@@ -17,9 +17,8 @@ import numpy as np
 from ...envs.env import EnvCfg, RewardTerm, StepCtx, TaskModel, WheeledEnv
 from ...sim.actions import ActionMapCfg
 from ...sim.terrain import Heightfield
-from ...sim.types import (
-    VehicleState, batch_params, default_mushr_params, with_mass,
-)
+from ...assets import MUSHR_4WD_ACTION, MUSHR_SUS_CFG
+from ...sim.types import VehicleState, batch_params, with_mass
 from ...utils import math as wmath
 from ...utils.config import configclass
 from .augment import augment_images, crop_gray_normalize_flatten
@@ -113,13 +112,8 @@ def make_visual_task(cfg: VisualTaskCfg) -> TaskModel:
     ], axis=-1).astype(np.float32)
     spawn_xy = jnp.asarray(spawn_xy_np)
 
-    base_params = default_mushr_params().replace(
-        motor_effort_limit=jnp.asarray(0.25, jnp.float32),
-        drive_mask=jnp.ones((4,), jnp.float32))   # MUSHR_SUS 4WD
-    action = ActionMapCfg(drivetrain="4wd", scale=(3.0, 0.488),
-                          bounding_strategy="clip", no_reverse=True,
-                          base_length=0.325, base_width=0.2,
-                          wheel_radius=0.05)
+    base_params = MUSHR_SUS_CFG   # MuSHR + suspension, 4WD (reference :226)
+    action = MUSHR_4WD_ACTION
 
     env_cfg = EnvCfg(
         num_envs=n, sim_dt=cfg.sim_dt, decimation=cfg.decimation,
