@@ -117,7 +117,16 @@ def make_ppo(env: WheeledEnv, cfg: PPOCfg):
                             value=value, reward=reward,
                             done=out.done.astype(jnp.float32),
                             mean=mean, std=std)
-            return (env_state, out.obs), (tr, out.info)
+            info = dict(out.info)
+            # trajectory capture of the first few envs (training-video parity
+            # with the reference's periodic recordings, common_cfg.py:19-29)
+            info["traj/pos"] = env_state.vehicle.pos[:8, :2]
+            info["traj/yaw"] = jnp.arctan2(
+                2 * (env_state.vehicle.quat[:8, 0] * env_state.vehicle.quat[:8, 3]
+                     + env_state.vehicle.quat[:8, 1] * env_state.vehicle.quat[:8, 2]),
+                1 - 2 * (env_state.vehicle.quat[:8, 2] ** 2
+                         + env_state.vehicle.quat[:8, 3] ** 2))
+            return (env_state, out.obs), (tr, info)
 
         keys = jax.random.split(state.key, cfg.num_steps_per_env + 1)
         (env_state, obs), (traj, infos) = jax.lax.scan(
@@ -243,6 +252,10 @@ def make_ppo(env: WheeledEnv, cfg: PPOCfg):
         for name in infos:
             if name.startswith("rew/"):
                 metrics[name] = infos[name].mean()
+        # [T, 8, ...] rollout trajectories for video rendering (host side
+        # pops these before scalarizing)
+        metrics["traj/pos"] = infos["traj/pos"]
+        metrics["traj/yaw"] = infos["traj/yaw"]
 
         new_state = TrainState(
             params=params, opt_state=opt_state, env_state=env_state,

@@ -32,6 +32,8 @@ class LogCfg:
     log_every: int = 10
     no_checkpoints: bool = False
     checkpoint_every: int = 50       # reference save_interval=50
+    video: bool = False              # record top-down training videos
+    video_interval: int = 500        # iterations between recordings
     no_wandb: bool = True            # offline by default (no egress)
     wandb_project: str = "WheeledLab-TPU"
     test_mode: bool = False
@@ -162,6 +164,17 @@ def train(run_cfg: RunConfig, env=None, max_iterations: Optional[int] = None,
         if run_cfg.train.profile and it == 13:
             jax.profiler.stop_trace()
         state, metrics = iter_jit(state)
+        traj_pos = metrics.pop("traj/pos", None)
+        traj_yaw = metrics.pop("traj/yaw", None)
+        if (log_cfg.video and not log_cfg.test_mode and traj_pos is not None
+                and (it + 1) % log_cfg.video_interval == 0):
+            from ..render.topdown import render_drift_frames, save_video
+
+            vid_dir = os.path.join(run_dir, "videos")
+            os.makedirs(vid_dir, exist_ok=True)
+            frames = render_drift_frames(
+                np.asarray(traj_pos), np.asarray(traj_yaw))
+            save_video(frames, os.path.join(vid_dir, f"iter_{it + 1}.avi"))
         if (it + 1) % log_cfg.log_every == 0 or it == n_iter - 1:
             host = {k: float(np.asarray(v)) for k, v in metrics.items()}
             elapsed = time.time() - t0
