@@ -40,6 +40,52 @@ class TestTerrainGen:
         assert max(gx.max(), gy.max()) < 0.45  # climbable grade
 
 
+class TestPatchAtlas:
+    """The gather-free terrain path: per-env patch row gather + one-hot
+    contractions must reproduce direct global bilinear lookups exactly
+    (contact) / to bf16-MXU tolerance (scan)."""
+
+    @pytest.fixture(scope="class")
+    def terrain(self):
+        return generate_elevation_terrain(jax.random.PRNGKey(3))
+
+    def test_patch_lookup_matches_direct(self, terrain):
+        key = jax.random.PRNGKey(0)
+        centers = jax.random.uniform(key, (64, 2), minval=-18, maxval=18)
+        offs = jax.random.uniform(
+            jax.random.PRNGKey(1), (64, 4, 2), minval=-0.6, maxval=0.6)
+        pts = centers[:, None, :] + offs
+        h_ref, n_ref = terrain.lookup_and_normal(pts)
+        atlas = terrain.build_atlas(p=24, stride=6)
+        h_p, n_p = jax.vmap(
+            lambda c, q: atlas.extract(c).lookup_and_normal(q))(centers, pts)
+        np.testing.assert_allclose(h_p, h_ref, atol=1e-5)
+        np.testing.assert_allclose(n_p, n_ref, atol=1e-5)
+
+    def test_atlas_covers_map_borders(self, terrain):
+        # extraction at/over the border clamps to a valid window and points
+        # clamp like the global lookup's edge clamp
+        atlas = terrain.build_atlas(p=24, stride=6)
+        centers = jnp.array([[-22.0, -22.0], [22.0, 22.0], [0.0, -22.0]])
+        h_p, _ = jax.vmap(
+            lambda c: atlas.extract(c).lookup_and_normal(c))(centers)
+        h_ref, _ = terrain.lookup_and_normal(centers)
+        np.testing.assert_allclose(h_p, h_ref, atol=1e-5)
+
+    def test_patch_grid_scan_matches_global_bilinear(self, terrain):
+        atlas = terrain.build_atlas(p=24, stride=6)
+        centers = jax.random.uniform(
+            jax.random.PRNGKey(2), (32, 2), minval=-15, maxval=15)
+        yaws = jax.random.uniform(
+            jax.random.PRNGKey(3), (32,), minval=-np.pi, maxval=np.pi)
+        scan_p = jax.vmap(
+            lambda c, y: atlas.extract(c).grid_scan(c, y, 2.5, 0.1)
+        )(centers, yaws)
+        scan_ref = terrain.grid_scan(centers, yaws, 2.5, 0.1)
+        # DEFAULT dot precision rounds operands to bf16 on TPU; on CPU exact
+        np.testing.assert_allclose(scan_p, scan_ref, atol=5e-3)
+
+
 class TestSmoke:
     def test_reset_and_step(self, env8):
         env = env8

@@ -128,6 +128,8 @@ class TaskModel(NamedTuple):
     pushes: Tuple[PushEvent, ...] = ()
     command: Optional[CommandCfg] = None
     command_dim: int = 3
+    terrain_atlas: Optional[object] = None  # PatchAtlas for fast rough-terrain
+                                            # contact (see sim/terrain.py)
 
 
 class EnvState(struct.PyTreeNode):
@@ -237,9 +239,9 @@ class WheeledEnv:
             vehicle, aux = unpack_state(packed), None
         else:
             vehicle, aux = jax.vmap(
-                sim_step, in_axes=(0, 0, None, 0, 0, None, None)
+                sim_step, in_axes=(0, 0, None, 0, 0, None, None, None)
             )(state.vehicle, state.params, task.terrain, steer_t, wheel_t,
-              cfg.sim_dt, cfg.decimation)
+              cfg.sim_dt, cfg.decimation, task.terrain_atlas)
 
         # 3. interval events: velocity pushes
         vehicle, push_timers = self._apply_pushes(

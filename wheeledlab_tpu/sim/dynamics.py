@@ -187,12 +187,24 @@ def substep(state: VehicleState, params: VehicleParams, terrain: Heightfield,
 
 def step(state: VehicleState, params: VehicleParams, terrain: Heightfield,
          steer_targets: jax.Array, wheel_targets: jax.Array,
-         dt: float, decimation: int) -> tuple[VehicleState, ContactAux]:
+         dt: float, decimation: int,
+         atlas=None) -> tuple[VehicleState, ContactAux]:
     """Scan `decimation` physics substeps with held joint targets — the
-    decimation sub-loop of ManagerBasedRLEnv.step (SURVEY.md §3.1)."""
+    decimation sub-loop of ManagerBasedRLEnv.step (SURVEY.md §3.1).
+
+    `atlas` (PatchAtlas, heightfield terrain only): extract a static (p, p)
+    local terrain window ONCE per control step — a single row gather from the
+    precomputed atlas — and run every substep's wheel-contact query against it
+    as gather-free one-hot contractions (TerrainPatch). Removes the dominant
+    cost of rough-terrain physics: TPU element gathers serialize at ~1
+    element/cycle, and vmapped dynamic_slice is ~16x slower than the atlas
+    row gather (measured; see Heightfield.build_atlas)."""
+    local = terrain
+    if atlas is not None and not terrain.is_flat:
+        local = atlas.extract(state.pos[:2])
 
     def body(s, _):
-        s, aux = substep(s, params, terrain, steer_targets, wheel_targets, dt)
+        s, aux = substep(s, params, local, steer_targets, wheel_targets, dt)
         return s, aux
 
     state, auxes = jax.lax.scan(body, state, None, length=decimation)

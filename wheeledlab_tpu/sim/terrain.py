@@ -96,6 +96,23 @@ class Heightfield(struct.PyTreeNode):
         """Outward surface normal at world xy. xy: (..., 2) -> (..., 3)."""
         return self.lookup_and_normal(xy)[1]
 
+    def extract_patch(self, center_xy: jax.Array, p: int) -> "TerrainPatch":
+        """Cut a static-shape (p, p) local window around world `center_xy`
+        (per env; vmap over the batch). ONE contiguous dynamic-slice replaces
+        the per-wheel / per-corner single-element gathers in the contact loop
+        — TPU has no hardware gather (~1 element/cycle serialized), while a
+        row-contiguous slice streams at HBM bandwidth. Subsequent lookups stay
+        inside the patch (see TerrainPatch.lookup_and_normal)."""
+        nx, ny = self.height.shape
+        gx = center_xy[0] / self.cell + (nx - 1) / 2.0
+        gy = center_xy[1] / self.cell + (ny - 1) / 2.0
+        sx = jnp.clip(jnp.round(gx).astype(jnp.int32) - p // 2, 0, max(nx - p, 0))
+        sy = jnp.clip(jnp.round(gy).astype(jnp.int32) - p // 2, 0, max(ny - p, 0))
+        patch = jax.lax.dynamic_slice(self.height, (sx, sy), (p, p))
+        return TerrainPatch(height=patch, sx=sx, sy=sy, cell=self.cell,
+                            friction=self.friction,
+                            grid_shape=(nx, ny))
+
     def resample(self, new_cell: float) -> "Heightfield":
         """Bilinearly resample to a finer grid (done ONCE at task build).
         Enables single-gather nearest-neighbor scans at scan resolution —
@@ -126,6 +143,37 @@ class Heightfield(struct.PyTreeNode):
         gy = jnp.clip(jnp.round(xy[..., 1] / self.cell + (ny - 1) / 2.0),
                       0, ny - 1).astype(jnp.int32)
         return self.height[gx, gy]
+
+    def lookup_and_normal_patch(self, xy: jax.Array, p: int):
+        """lookup_and_normal via a local patch — reference for tests; the hot
+        path extracts the patch once per control step (dynamics.step)."""
+        return self.extract_patch(xy.reshape(-1, 2).mean(0), p).lookup_and_normal(xy)
+
+    def build_atlas(self, p: int = 24, stride: int = 6) -> "PatchAtlas":
+        """Precompute every (p, p) window at `stride`-cell anchor spacing,
+        stored as FLAT CONTIGUOUS ROWS (p*p,). Built once at task build.
+
+        Why: per-env `dynamic_slice` under vmap lowers to a slice-gather that
+        measures ~5.8 ms for 4096×(16,16) windows on v5e, while a flat row
+        gather of the same bytes takes ~0.36 ms (embedding-lookup pattern).
+        The atlas turns per-step patch extraction into exactly that row
+        gather. Memory: ~(nx/stride)^2 * p^2 floats (elevation task: ~1.7 MB).
+        """
+        nx, ny = self.height.shape
+        assert not self.is_flat, "atlas of a flat field is pointless"
+        assert p <= min(nx, ny), (p, nx, ny)
+        nax = max((nx - p + stride - 1) // stride + 1, 1)
+        nay = max((ny - p + stride - 1) // stride + 1, 1)
+        sxs = np.minimum(np.arange(nax) * stride, nx - p)
+        sys_ = np.minimum(np.arange(nay) * stride, ny - p)
+        # (nax, nay, p, p) -> (nax*nay, p*p) without per-window copies:
+        # strided window view over the host copy of the texture
+        h = np.asarray(self.height)
+        win = np.lib.stride_tricks.sliding_window_view(h, (p, p))  # (nx-p+1, ny-p+1, p, p)
+        rows = win[sxs[:, None], sys_[None, :]].reshape(nax * nay, p * p)
+        return PatchAtlas(
+            rows=jnp.asarray(rows), cell=self.cell, friction=self.friction,
+            p=p, stride=stride, nax=nax, nay=nay, grid_shape=(nx, ny))
 
     def grid_scan_mxu(self, center_xy: jax.Array, yaw: jax.Array,
                       size: float, resolution: float) -> jax.Array:
@@ -187,3 +235,133 @@ class Heightfield(struct.PyTreeNode):
             [center_xy[..., 0:1] + rot_x, center_xy[..., 1:2] + rot_y], axis=-1
         )  # (..., n*n, 2)
         return self.lookup_nearest(pts) if nearest else self.lookup(pts)
+
+
+class TerrainPatch(struct.PyTreeNode):
+    """Static-shape local terrain window (see Heightfield.extract_patch).
+
+    Presents the same query surface as Heightfield (`lookup_and_normal`,
+    `friction`) so the physics substep is terrain-representation-agnostic;
+    lookups are one-hot row/col contractions against the resident (p, p)
+    patch — pure VPU/MXU work, ZERO gathers — so the decimation loop never
+    touches the global texture again."""
+
+    height: jax.Array          # (p, p)
+    sx: jax.Array              # () int32 patch origin (grid index)
+    sy: jax.Array              # () int32
+    cell: jax.Array            # ()
+    friction: jax.Array        # ()
+    grid_shape: tuple = struct.field(pytree_node=False, default=(1, 1))
+
+    @property
+    def is_flat(self) -> bool:
+        return False
+
+    def lookup_and_normal(self, xy: jax.Array):
+        """Bilinear height + analytic normal inside the patch.
+        xy: (..., 2) world -> ((...,), (..., 3)). Points are clamped to the
+        patch (the patch is sized so in-bounds dynamics never clamp)."""
+        p = self.height.shape[0]
+        nx, ny = self.grid_shape
+        shape = xy.shape[:-1]
+        pts = xy.reshape(-1, 2)
+        u = pts[:, 0] / self.cell + (nx - 1) / 2.0 - self.sx
+        v = pts[:, 1] / self.cell + (ny - 1) / 2.0 - self.sy
+        u = jnp.clip(u, 0.0, p - 1.001)
+        v = jnp.clip(v, 0.0, p - 1.001)
+        x0 = jnp.floor(u).astype(jnp.int32)
+        y0 = jnp.floor(v).astype(jnp.int32)
+        fx = u - x0
+        fy = v - y0
+        iota = jnp.arange(p, dtype=jnp.int32)
+        at0 = (iota[None, :] == x0[:, None]).astype(self.height.dtype)
+        at1 = (iota[None, :] == (x0 + 1)[:, None]).astype(self.height.dtype)
+        bt0 = (iota[None, :] == y0[:, None]).astype(self.height.dtype)
+        bt1 = (iota[None, :] == (y0 + 1)[:, None]).astype(self.height.dtype)
+        row_w = at0 * (1.0 - fx[:, None]) + at1 * fx[:, None]      # (m, p)
+        col_w = bt0 * (1.0 - fy[:, None]) + bt1 * fy[:, None]      # (m, p)
+        drow = at1 - at0
+        dcol = bt1 - bt0
+        # broadcast-multiply-reduce on the VPU, NOT `@`: with m=4 wheels these
+        # contractions are far below MXU tile size, and DEFAULT dot precision
+        # truncates f32 operands to bf16 on TPU — a ±2 mm height error the
+        # suspension spring (k ~ 1e4 N/m) would turn into ~10 N force noise.
+        rows = (row_w[:, :, None] * self.height[None]).sum(1)       # (m, p)
+        drows = (drow[:, :, None] * self.height[None]).sum(1)       # (m, p)
+        h = (rows * col_w).sum(-1)
+        dhdx = (drows * col_w).sum(-1) / self.cell
+        dhdy = (rows * dcol).sum(-1) / self.cell
+        n = jnp.stack([-dhdx, -dhdy, jnp.ones_like(dhdx)], axis=-1)
+        n = n / jnp.linalg.norm(n, axis=-1, keepdims=True)
+        return h.reshape(shape), n.reshape(shape + (3,))
+
+    def _uv(self, pts: jax.Array):
+        p = self.height.shape[0]
+        nx, ny = self.grid_shape
+        u = pts[:, 0] / self.cell + (nx - 1) / 2.0 - self.sx
+        v = pts[:, 1] / self.cell + (ny - 1) / 2.0 - self.sy
+        return (jnp.clip(u, 0.0, p - 1.001), jnp.clip(v, 0.0, p - 1.001))
+
+    def grid_scan(self, center_xy: jax.Array, yaw: jax.Array,
+                  size: float, resolution: float) -> jax.Array:
+        """Yaw-aligned bilinear height scan from the resident patch — the
+        RayCaster grid scanner (reference mushr_elevation_env_cfg.py:132-142)
+        as one-hot MXU contractions, zero gathers. DEFAULT dot precision
+        (bf16 operand rounding, ±2 mm on meter-scale heights) is fine here:
+        the reference adds Unoise(±0.02 m) to this observation anyway.
+        center_xy: (2,), yaw: () -> (n*n,) heights; vmap over envs."""
+        p = self.height.shape[0]
+        n = int(round(size / resolution)) + 1
+        axis = (jnp.arange(n, dtype=jnp.float32) - (n - 1) / 2.0) * resolution
+        ox, oy = jnp.meshgrid(axis, axis, indexing="ij")
+        c, s = jnp.cos(yaw), jnp.sin(yaw)
+        pts = jnp.stack(
+            [center_xy[0] + ox.ravel() * c - oy.ravel() * s,
+             center_xy[1] + ox.ravel() * s + oy.ravel() * c], axis=-1)
+        u, v = self._uv(pts)                                  # (n*n,)
+        x0 = jnp.floor(u).astype(jnp.int32)
+        y0 = jnp.floor(v).astype(jnp.int32)
+        fx, fy = u - x0, v - y0
+        iota = jnp.arange(p, dtype=jnp.int32)
+        at0 = (iota[None, :] == x0[:, None]).astype(self.height.dtype)
+        at1 = (iota[None, :] == (x0 + 1)[:, None]).astype(self.height.dtype)
+        bt0 = (iota[None, :] == y0[:, None]).astype(self.height.dtype)
+        bt1 = (iota[None, :] == (y0 + 1)[:, None]).astype(self.height.dtype)
+        row_w = at0 * (1.0 - fx[:, None]) + at1 * fx[:, None]   # (n*n, p)
+        col_w = bt0 * (1.0 - fy[:, None]) + bt1 * fy[:, None]   # (n*n, p)
+        rows = row_w @ self.height                               # MXU
+        return (rows * col_w).sum(-1)
+
+
+class PatchAtlas(struct.PyTreeNode):
+    """All (p, p) terrain windows at `stride`-cell anchors, flattened to
+    contiguous rows so per-env extraction is ONE embedding-style row gather
+    (see Heightfield.build_atlas for the why + measured numbers).
+
+    Coverage contract: a query point stays inside its extracted patch iff
+    |point - center| ≤ (p/2 - stride/2 - 1) * cell in each axis. Elevation
+    defaults (p=24, stride=6, cell=0.25 m) give 2.1 m — covering wheel reach
+    + per-control-step travel (contact) and the 2.5 m scan half-diagonal."""
+
+    rows: jax.Array            # (nax*nay, p*p)
+    cell: jax.Array            # ()
+    friction: jax.Array        # ()
+    p: int = struct.field(pytree_node=False, default=24)
+    stride: int = struct.field(pytree_node=False, default=6)
+    nax: int = struct.field(pytree_node=False, default=1)
+    nay: int = struct.field(pytree_node=False, default=1)
+    grid_shape: tuple = struct.field(pytree_node=False, default=(1, 1))
+
+    def extract(self, center_xy: jax.Array) -> TerrainPatch:
+        """Nearest-anchor patch for world `center_xy` (per env; vmap)."""
+        p, s = self.p, self.stride
+        nx, ny = self.grid_shape
+        gx = center_xy[0] / self.cell + (nx - 1) / 2.0
+        gy = center_xy[1] / self.cell + (ny - 1) / 2.0
+        ix = jnp.clip(jnp.round((gx - p / 2.0) / s).astype(jnp.int32), 0, self.nax - 1)
+        iy = jnp.clip(jnp.round((gy - p / 2.0) / s).astype(jnp.int32), 0, self.nay - 1)
+        sx = jnp.minimum(ix * s, nx - p)
+        sy = jnp.minimum(iy * s, ny - p)
+        patch = self.rows[ix * self.nay + iy].reshape(p, p)
+        return TerrainPatch(height=patch, sx=sx, sy=sy, cell=self.cell,
+                            friction=self.friction, grid_shape=self.grid_shape)

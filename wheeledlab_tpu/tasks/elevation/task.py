@@ -136,9 +136,11 @@ def at_goal(ctx: StepCtx, dist: float = 0.5) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def make_elevation_obs(scan_field):
-    """Obs fn closure over the scan-resolution terrain texture (prebuilt at
-    task build via Heightfield.resample — single-gather nearest sampling)."""
+def make_elevation_obs(atlas):
+    """Obs fn closure over the terrain PatchAtlas: per-env patch row gather +
+    bilinear one-hot MXU scan (sim/terrain.py — replaces the former
+    resampled-texture grid_scan_mxu; same sampling pattern, exact bilinear
+    on the native terrain grid, ~3x faster end to end)."""
 
     def elevation_obs(ctx: StepCtx, key: jax.Array) -> jax.Array:
         v = ctx.vehicle
@@ -149,10 +151,12 @@ def make_elevation_obs(scan_field):
         # yaw-aligned grid scan == RayCaster GridPattern attach_yaw_only
         # (:132-142), relative to the robot's ground height like
         # world_height_map (:44-48)
-        scan = scan_field.grid_scan_mxu(v.pos[..., :2], yaw,
-                                        SCAN_SIZE, SCAN_RES)
-        ground = ctx.terrain.lookup(v.pos[..., :2])
-        rel_scan = scan - ground[..., None]
+        def one(pos, th):
+            patch = atlas.extract(pos)
+            scan = patch.grid_scan(pos, th, SCAN_SIZE, SCAN_RES)
+            ground = patch.lookup_and_normal(pos)[0]
+            return scan - ground
+        rel_scan = jax.vmap(one)(v.pos[..., :2], yaw)
         return _concat_obs(ctx, goal_rel, euler, rel_scan)
 
     return elevation_obs
@@ -181,7 +185,9 @@ def make_elevation_task(cfg: ElevationTaskCfg) -> TaskModel:
         jax.random.fold_in(base_key, 23), extent=cfg.terrain_extent,
         cell=cfg.terrain_cell, num_mounds=cfg.num_mounds,
         friction=cfg.wheel_friction)
-    scan_field = terrain.resample(SCAN_RES)  # fine texture for 1-gather scans
+    # Patch atlas shared by wheel contact (dynamics.step) and the height-scan
+    # obs: p=24/stride=6 covers wheel reach + travel AND the 2.5 m scan.
+    atlas = terrain.build_atlas(p=24, stride=6)
 
     # MUSHR_SUS 4WD asset (reference mushr_elevation_env_cfg.py:130 +
     # Mushr4WDActionCfg)
@@ -253,9 +259,10 @@ def make_elevation_task(cfg: ElevationTaskCfg) -> TaskModel:
             "rollover": rollover,
             "at_goal": at_goal,
         } if cfg.terminations_enabled else {}),
-        observe=make_elevation_obs(scan_field),
+        observe=make_elevation_obs(atlas),
         curriculum=curriculum,
         command=command,
+        terrain_atlas=atlas,
     )
 
 
