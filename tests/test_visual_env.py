@@ -45,6 +45,40 @@ class TestCamera:
         return ColorMap(grid=jnp.ones((100, 100)), cell=jnp.asarray(0.5),
                         rows=100, cols=100)
 
+    def test_fast_render_matches_exact_near_field(self):
+        """ColorMapAtlas render == global-gather render for every pixel whose
+        ground hit lies inside the patch coverage radius (the rest clamp to
+        the patch border — documented far-field approximation)."""
+        from wheeledlab_tpu.tasks.visual.camera import (
+            CAM_OFFSET_B, ColorMapAtlas, render_fast)
+        from wheeledlab_tpu.utils import math as wmath
+
+        rng = np.random.RandomState(0)
+        grid = jnp.asarray((rng.rand(500, 500) > 0.5).astype(np.float32))
+        cm = ColorMap(grid=grid, cell=jnp.asarray(0.5), rows=500, cols=500)
+        atlas = ColorMapAtlas.build(cm)
+        pos = jnp.asarray(rng.uniform(-80, 80, (16, 3)), jnp.float32
+                          ).at[:, 2].set(0.08)
+        yaw = jnp.asarray(rng.uniform(-np.pi, np.pi, (16,)), jnp.float32)
+        quat = wmath.quat_from_yaw(yaw)
+        exact = np.asarray(render(cm, pos, quat))
+        fast = np.asarray(render_fast(atlas, pos, quat))
+        # coverage radius: (p/2 - stride/2 - 1) cells
+        r_cov = (atlas.p / 2 - atlas.stride / 2 - 1) * float(atlas.cell)
+        cam = np.asarray(pos + wmath.quat_rotate(quat, jnp.broadcast_to(
+            CAM_OFFSET_B, pos.shape)))
+        # recompute hit distances to build the near-field mask
+        from wheeledlab_tpu.tasks.visual.camera import _RAYS
+        for i in range(16):
+            d = np.asarray(wmath.quat_rotate(quat[i][None, None], _RAYS))
+            dz = d[..., 2]
+            below = dz < -1e-6
+            t = -cam[i, 2] / np.where(below, dz, -1e-6)
+            hit = cam[i, None, None, :2] + t[..., None] * d[..., :2]
+            near = (np.abs(hit - cam[i, :2]).max(-1) < r_cov - 1e-3) & below
+            np.testing.assert_array_equal(fast[i][near], exact[i][near])
+            assert near.mean() > 0.4  # the mask actually covers most pixels
+
     def test_white_floor_renders_ground_below_horizon(self):
         cm = self._map_white()
         pos = jnp.array([0.0, 0.0, 0.06])

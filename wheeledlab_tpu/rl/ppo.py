@@ -72,11 +72,14 @@ class TrainState(struct.PyTreeNode):
     iteration: jax.Array     # i32 scalar
 
 
-def make_ppo(env: WheeledEnv, cfg: PPOCfg):
+def make_ppo(env: WheeledEnv, cfg: PPOCfg, _internals: dict | None = None):
     """Returns (init_fn, train_iteration_fn, policy_apply).
 
     init_fn(key) -> TrainState
     train_iteration(state) -> (state, metrics)  — fully jittable
+
+    `_internals`: pass a dict to receive the phase closures (rollout,
+    compute_gae, update_epochs) for profiling/tests.
     """
     model = ActorCritic(
         action_dim=env.action_dim, actor_hidden=cfg.actor_hidden,
@@ -262,4 +265,7 @@ def make_ppo(env: WheeledEnv, cfg: PPOCfg):
             obs=obs, key=key, iteration=state.iteration + 1)
         return new_state, metrics
 
+    if _internals is not None:
+        _internals.update(rollout=rollout, compute_gae=compute_gae,
+                          update_epochs=update_epochs, model=model)
     return init_fn, train_iteration, policy_apply

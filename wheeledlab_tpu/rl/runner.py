@@ -176,7 +176,9 @@ def train(run_cfg: RunConfig, env=None, max_iterations: Optional[int] = None,
                 np.asarray(traj_pos), np.asarray(traj_yaw))
             save_video(frames, os.path.join(vid_dir, f"iter_{it + 1}.avi"))
         if (it + 1) % log_cfg.log_every == 0 or it == n_iter - 1:
-            host = {k: float(np.asarray(v)) for k, v in metrics.items()}
+            # ONE batched device->host pull; per-item float(np.asarray(v))
+            # pays a tunnel round-trip per metric (~10x slower, measured)
+            host = {k: float(v) for k, v in jax.device_get(metrics).items()}
             elapsed = time.time() - t0
             host["perf/env_steps_per_s"] = steps_per_iter * (it + 1) / elapsed
             host["perf/wall_s"] = elapsed

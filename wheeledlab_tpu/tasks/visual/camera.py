@@ -55,6 +55,103 @@ class ColorMap(struct.PyTreeNode):
         return self.grid[row, col]
 
 
+class ColorMapAtlas(struct.PyTreeNode):
+    """All (p, p) color-map windows at `stride`-cell anchors as flat rows —
+    the camera-render counterpart of sim.terrain.PatchAtlas. Per-env pixel
+    sampling becomes ONE row gather + one-hot MXU contractions instead of
+    ~4800 serialized element gathers (TPU has no hardware gather; measured
+    30 ms -> ~3 ms for 512 envs x 80x60).
+
+    Exactness: one-hot selection of {0,1} cells is exact in bf16 MXU passes.
+    Pixels whose ground hit falls outside the patch (ray length beyond
+    ~(p/2 - stride/2 - 1) cells, i.e. the 2-3 pixel rows nearest the horizon
+    on a flat pose) clamp to the patch border color — a deliberate far-field
+    approximation; the exact `render` stays available and is the reference
+    in tests."""
+
+    rows: jax.Array            # (nax*nay, p*p) over (row, col) windows
+    cell: jax.Array            # ()
+    p: int = struct.field(pytree_node=False, default=40)
+    stride: int = struct.field(pytree_node=False, default=8)
+    nar: int = struct.field(pytree_node=False, default=1)
+    nac: int = struct.field(pytree_node=False, default=1)
+    map_rows: int = struct.field(pytree_node=False, default=500)
+    map_cols: int = struct.field(pytree_node=False, default=500)
+
+    @classmethod
+    def build(cls, colormap: ColorMap, p: int = 40, stride: int = 8):
+        import numpy as np
+        g = np.asarray(colormap.grid)
+        R, C = g.shape
+        nar = max((R - p + stride - 1) // stride + 1, 1)
+        nac = max((C - p + stride - 1) // stride + 1, 1)
+        srs = np.minimum(np.arange(nar) * stride, R - p)
+        scs = np.minimum(np.arange(nac) * stride, C - p)
+        win = np.lib.stride_tricks.sliding_window_view(g, (p, p))
+        rows = win[srs[:, None], scs[None, :]].reshape(nar * nac, p * p)
+        return cls(rows=jnp.asarray(rows), cell=colormap.cell, p=p,
+                   stride=stride, nar=nar, nac=nac, map_rows=R, map_cols=C)
+
+    def extract(self, xy: jax.Array):
+        """Window anchored at world xy -> (patch (p,p), sr, sc). Per env."""
+        p, s = self.p, self.stride
+        width = self.map_cols * self.cell
+        height = self.map_rows * self.cell
+        col_f = (xy[0] + width / 2) / self.cell
+        row_f = (xy[1] + height / 2) / self.cell
+        ir = jnp.clip(jnp.round((row_f - p / 2.0) / s).astype(jnp.int32),
+                      0, self.nar - 1)
+        ic = jnp.clip(jnp.round((col_f - p / 2.0) / s).astype(jnp.int32),
+                      0, self.nac - 1)
+        sr = jnp.minimum(ir * s, self.map_rows - p)
+        sc = jnp.minimum(ic * s, self.map_cols - p)
+        return self.rows[ir * self.nac + ic].reshape(p, p), sr, sc
+
+    def sample_patch(self, patch: jax.Array, sr: jax.Array, sc: jax.Array,
+                     xy: jax.Array) -> jax.Array:
+        """ColorMap.sample (nearest/floor cell) against a resident patch via
+        one-hot row/col contractions. xy: (m, 2) -> (m,). Out-of-patch points
+        clamp to the border."""
+        p = self.p
+        width = self.map_cols * self.cell
+        height = self.map_rows * self.cell
+        col = jnp.floor((xy[:, 0] + width / 2) / self.cell).astype(jnp.int32) - sc
+        row = jnp.floor((xy[:, 1] + height / 2) / self.cell).astype(jnp.int32) - sr
+        col = jnp.clip(col, 0, p - 1)
+        row = jnp.clip(row, 0, p - 1)
+        iota = jnp.arange(p, dtype=jnp.int32)
+        row_sel = (iota[None, :] == row[:, None]).astype(patch.dtype)
+        col_sel = (iota[None, :] == col[:, None]).astype(patch.dtype)
+        rows = row_sel @ patch                        # (m, p) via MXU
+        return (rows * col_sel).sum(-1)
+
+
+def render_fast(atlas: ColorMapAtlas, pos: jax.Array, quat: jax.Array,
+                crop_top: int = 0) -> jax.Array:
+    """Patch-atlas camera render: (B, HEIGHT - crop_top, WIDTH) grayscale.
+    Same ray-ground model as `render`; map sampling via ColorMapAtlas
+    (gather-free, far-field border clamp — see class docstring). `crop_top`
+    drops the top image rows at render time (the visual obs discards the top
+    third anyway, reference mdp_sensors/observations.py:78)."""
+    cam_pos = pos + wmath.quat_rotate(quat, jnp.broadcast_to(
+        CAM_OFFSET_B, pos.shape))
+    rays = _RAYS[crop_top:]
+
+    def one(cp, q):
+        d_world = wmath.quat_rotate(q[None, None, :], rays)   # (h, W, 3)
+        dz = d_world[..., 2]
+        t = -cp[2] / jnp.where(dz < -1e-6, dz, -1e-6)
+        hit_xy = cp[None, None, :2] + t[..., None] * d_world[..., :2]
+        patch, sr, sc = atlas.extract(cp[:2])
+        color = atlas.sample_patch(
+            patch, sr, sc, hit_xy.reshape(-1, 2)).reshape(hit_xy.shape[:2])
+        return jnp.where(dz < -1e-6, color, 0.0)
+
+    if pos.ndim == 1:
+        return one(cam_pos, quat)
+    return jax.vmap(one)(cam_pos, quat)
+
+
 def _pixel_rays():
     """Unit ray directions in camera frame (x forward, y left, z up),
     shape (HEIGHT, WIDTH, 3). Pixel (0,0) is top-left."""

@@ -21,8 +21,8 @@ from ...assets import MUSHR_4WD_ACTION, MUSHR_SUS_CFG
 from ...sim.types import VehicleState, batch_params, with_mass
 from ...utils import math as wmath
 from ...utils.config import configclass
-from .augment import augment_images, crop_gray_normalize_flatten
-from .camera import HEIGHT, WIDTH, ColorMap, render
+from .augment import augment_images
+from .camera import HEIGHT, WIDTH, ColorMap, ColorMapAtlas, render, render_fast
 from .map_gen import generate_traversability_map
 
 REST_H = 0.06
@@ -59,6 +59,11 @@ class VisualTaskCfg:
     events_enabled: bool = True
     terminations_enabled: bool = True  # Play strips terminations (:455-470)
     enable_corruption: bool = True   # Unoise on vel/action obs (:46-52)
+    exact_render: bool = False       # True: per-pixel global map gathers
+                                     # (reference-exact far field, ~10x slower
+                                     # on TPU); False: ColorMapAtlas render
+                                     # (exact inside ~7.5 m, border-clamped
+                                     # beyond — camera.py:ColorMapAtlas)
 
 
 # ---------------------------------------------------------------------------
@@ -160,13 +165,20 @@ def make_visual_task(cfg: VisualTaskCfg) -> TaskModel:
         state = VehicleState.zero((num,))
         return state.replace(pos=pos, quat=wmath.quat_from_yaw(yaw))
 
+    atlas = ColorMapAtlas.build(colormap)
+    crop_top = HEIGHT // 3   # reference crops the top third FIRST
+                                 # (mdp_sensors/observations.py:78)
+
     def observe(ctx: StepCtx, key: jax.Array) -> jax.Array:
         v = ctx.vehicle
-        imgs = render(colormap, v.pos, v.quat)         # (B, 60, 80)
+        if cfg.exact_render:
+            imgs = render(colormap, v.pos, v.quat)[:, crop_top:, :]
+        else:
+            imgs = render_fast(atlas, v.pos, v.quat, crop_top=crop_top)
         k_aug, k_n = jax.random.split(key)
         if cfg.enable_corruption:
-            imgs = augment_images(imgs, k_aug)
-        cam = crop_gray_normalize_flatten(imgs)        # (B, 3200)
+            imgs = augment_images(imgs, k_aug)       # (B, 40, 80)
+        cam = ((imgs - 0.5) / 0.5).reshape(imgs.shape[0], -1)  # (B, 3200)
         lin = ctx.body_lin_vel
         ang = ctx.body_ang_vel
         act = jnp.clip(ctx.last_action, -1.0, 1.0)
