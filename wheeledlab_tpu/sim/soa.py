@@ -197,13 +197,16 @@ def substep_soa(state: jax.Array, params: jax.Array,
         fz = susp_k * penetration + susp_d * (-vcz)
         fz = jnp.where(in_contact, jnp.maximum(fz, 0.0), 0.0)
 
-        # tire frame: wheel heading projected on ground plane
-        steer_w = (new_steer_pos[0] if w == 2 else
-                   new_steer_pos[1] if w == 3 else jnp.zeros_like(px))
-        cd = jnp.cos(steer_w)
-        sd = jnp.sin(steer_w)
-        hx = r00 * cd + r01 * sd
-        hy = r10 * cd + r11 * sd
+        # tire frame: wheel heading projected on ground plane. Rear wheels
+        # (0, 1) never steer — skip their cos/sin entirely.
+        if w in (2, 3):
+            steer_w = new_steer_pos[0] if w == 2 else new_steer_pos[1]
+            cd = jnp.cos(steer_w)
+            sd = jnp.sin(steer_w)
+            hx = r00 * cd + r01 * sd
+            hy = r10 * cd + r11 * sd
+        else:
+            hx, hy = r00, r10
         # project to plane (drop z), normalize
         hnorm = jnp.maximum(jnp.sqrt(hx * hx + hy * hy), 1e-6)
         tlx, tly = hx / hnorm, hy / hnorm
