@@ -14,6 +14,7 @@ from __future__ import annotations
 from typing import Tuple
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..sim.actions import ActionMapCfg
 from ..sim.types import (
@@ -53,9 +54,11 @@ F1TENTH_4WD_ACTUATOR_CFG = ActuatorGroupCfg(
 
 def apply_actuators(params: VehicleParams,
                     act: ActuatorGroupCfg) -> VehicleParams:
-    f32 = lambda x: jnp.asarray(x, jnp.float32)
-    drive_mask = (jnp.array([1.0, 1.0, 0.0, 0.0], jnp.float32)
-                  if act.drive == "2wd" else jnp.ones((4,), jnp.float32))
+    # numpy on purpose: asset cfgs get captured by jitted closures and must
+    # embed as HLO literals, not device buffers (see utils/host.py)
+    f32 = lambda x: np.float32(x)
+    drive_mask = (np.array([1.0, 1.0, 0.0, 0.0], np.float32)
+                  if act.drive == "2wd" else np.ones((4,), np.float32))
     return params.replace(
         steer_kp=f32(act.steer_stiffness),
         steer_kd=f32(act.steer_damping),
@@ -64,7 +67,7 @@ def apply_actuators(params: VehicleParams,
         motor_sat_effort=f32(act.throttle_saturation_effort),
         motor_effort_limit=f32(act.throttle_effort_limit),
         motor_vel_limit=f32(act.throttle_velocity_limit),
-        motor_damping=jnp.full((4,), act.throttle_damping, jnp.float32),
+        motor_damping=np.full((4,), act.throttle_damping, np.float32),
         drive_mask=drive_mask,
     )
 

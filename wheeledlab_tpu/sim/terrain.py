@@ -28,10 +28,12 @@ class Heightfield(struct.PyTreeNode):
 
     @classmethod
     def flat(cls, friction: float = 1.0) -> "Heightfield":
+        # numpy leaves: terrain is captured by jitted closures and must
+        # embed as HLO literals, not device buffers (see utils/host.py)
         return cls(
-            height=jnp.zeros((1, 1), jnp.float32),
-            cell=jnp.asarray(1.0, jnp.float32),
-            friction=jnp.asarray(friction, jnp.float32),
+            height=np.zeros((1, 1), np.float32),
+            cell=np.float32(1.0),
+            friction=np.float32(friction),
         )
 
     @property
@@ -53,10 +55,11 @@ class Heightfield(struct.PyTreeNode):
         y1 = jnp.minimum(y0 + 1, ny - 1)
         fx = gx - x0
         fy = gy - y0
-        h00 = self.height[x0, y0]
-        h01 = self.height[x0, y1]
-        h10 = self.height[x1, y0]
-        h11 = self.height[x1, y1]
+        hm = jnp.asarray(self.height)  # host const -> trace-time literal
+        h00 = hm[x0, y0]
+        h01 = hm[x0, y1]
+        h10 = hm[x1, y0]
+        h11 = hm[x1, y1]
         return (
             h00 * (1 - fx) * (1 - fy)
             + h01 * (1 - fx) * fy
@@ -80,10 +83,11 @@ class Heightfield(struct.PyTreeNode):
         x1 = jnp.minimum(x0 + 1, nx - 1)
         y1 = jnp.minimum(y0 + 1, ny - 1)
         fx, fy = gx - x0, gy - y0
-        h00 = self.height[x0, y0]
-        h01 = self.height[x0, y1]
-        h10 = self.height[x1, y0]
-        h11 = self.height[x1, y1]
+        hm = jnp.asarray(self.height)  # host const -> trace-time literal
+        h00 = hm[x0, y0]
+        h01 = hm[x0, y1]
+        h10 = hm[x1, y0]
+        h11 = hm[x1, y1]
         h = (h00 * (1 - fx) * (1 - fy) + h01 * (1 - fx) * fy
              + h10 * fx * (1 - fy) + h11 * fx * fy)
         dhdx = ((h10 - h00) * (1 - fy) + (h11 - h01) * fy) / self.cell
@@ -129,9 +133,11 @@ class Heightfield(struct.PyTreeNode):
         ys = (jnp.arange(my, dtype=jnp.float32) - (my - 1) / 2.0) * new_cell
         gx, gy = jnp.meshgrid(xs, ys, indexing="ij")
         pts = jnp.stack([gx, gy], axis=-1)
-        return Heightfield(height=self.lookup(pts),
-                           cell=jnp.asarray(new_cell, jnp.float32),
-                           friction=self.friction)
+        # host leaves: built once and captured by jitted closures
+        # (see utils/host.py)
+        return Heightfield(height=np.asarray(self.lookup(pts), np.float32),
+                           cell=np.float32(new_cell),
+                           friction=np.asarray(self.friction))
 
     def lookup_nearest(self, xy: jax.Array) -> jax.Array:
         """Nearest-cell height — ONE gather per point. xy: (..., 2) -> (...)."""
@@ -142,7 +148,7 @@ class Heightfield(struct.PyTreeNode):
                       0, nx - 1).astype(jnp.int32)
         gy = jnp.clip(jnp.round(xy[..., 1] / self.cell + (ny - 1) / 2.0),
                       0, ny - 1).astype(jnp.int32)
-        return self.height[gx, gy]
+        return jnp.asarray(self.height)[gx, gy]
 
     def lookup_and_normal_patch(self, xy: jax.Array, p: int):
         """lookup_and_normal via a local patch — reference for tests; the hot
@@ -172,7 +178,8 @@ class Heightfield(struct.PyTreeNode):
         win = np.lib.stride_tricks.sliding_window_view(h, (p, p))  # (nx-p+1, ny-p+1, p, p)
         rows = win[sxs[:, None], sys_[None, :]].reshape(nax * nay, p * p)
         return PatchAtlas(
-            rows=jnp.asarray(rows), cell=self.cell, friction=self.friction,
+            rows=np.ascontiguousarray(rows, np.float32),
+            cell=np.asarray(self.cell), friction=np.asarray(self.friction),
             p=p, stride=stride, nax=nax, nay=nay, grid_shape=(nx, ny))
 
     def grid_scan_mxu(self, center_xy: jax.Array, yaw: jax.Array,
@@ -362,6 +369,6 @@ class PatchAtlas(struct.PyTreeNode):
         iy = jnp.clip(jnp.round((gy - p / 2.0) / s).astype(jnp.int32), 0, self.nay - 1)
         sx = jnp.minimum(ix * s, nx - p)
         sy = jnp.minimum(iy * s, ny - p)
-        patch = self.rows[ix * self.nay + iy].reshape(p, p)
+        patch = jnp.asarray(self.rows)[ix * self.nay + iy].reshape(p, p)
         return TerrainPatch(height=patch, sx=sx, sy=sy, cell=self.cell,
                             friction=self.friction, grid_shape=self.grid_shape)

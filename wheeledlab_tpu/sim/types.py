@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 
@@ -101,14 +102,16 @@ def default_mushr_params() -> VehicleParams:
     ixx = m / 12.0 * (W**2 + 0.01) * 3.0
     iyy = m / 12.0 * (L**2 + 0.01) * 3.0
     izz = m / 12.0 * (L**2 + W**2) * 1.5
-    wheel_pos = jnp.array(
+    wheel_pos = np.array(
         [[-lx, +wy, -h + r], [-lx, -wy, -h + r],
-         [+lx, +wy, -h + r], [+lx, -wy, -h + r]], jnp.float32,
+         [+lx, +wy, -h + r], [+lx, -wy, -h + r]], np.float32,
     )
-    f32 = lambda x: jnp.asarray(x, jnp.float32)
+    # numpy on purpose: these leaves get captured by jitted closures and must
+    # embed as HLO literals, not device buffers (see utils/host.py).
+    f32 = lambda x: np.float32(x)
     return VehicleParams(
         mass=f32(m),
-        inertia=jnp.array([ixx, iyy, izz], jnp.float32),
+        inertia=np.array([ixx, iyy, izz], np.float32),
         com_height=f32(h),
         gravity=f32(9.81),
         wheel_pos_b=wheel_pos,
@@ -119,13 +122,13 @@ def default_mushr_params() -> VehicleParams:
         steer_vel_limit=f32(10.0),
         steer_inertia=f32(2e-3),
         steer_limit=f32(0.55),
-        motor_damping=jnp.full((4,), 1000.0, jnp.float32),
+        motor_damping=np.full((4,), 1000.0, np.float32),
         motor_sat_effort=f32(1.05),
         motor_effort_limit=f32(0.5),   # 2WD variant: more torque (hound.py:41)
         motor_vel_limit=f32(450.0),
-        drive_mask=jnp.array([1.0, 1.0, 0.0, 0.0], jnp.float32),  # RWD
+        drive_mask=np.array([1.0, 1.0, 0.0, 0.0], np.float32),  # RWD
         wheel_inertia=f32(2.5e-4),
-        tire_mu=jnp.full((4,), 1.0, jnp.float32),
+        tire_mu=np.full((4,), 1.0, np.float32),
         tire_stiffness=f32(9.0),
         tire_shape=f32(1.5),
         rolling_resistance=f32(1e-4),
@@ -143,25 +146,25 @@ def default_f1tenth_params() -> VehicleParams:
     m = 4.5
     h = 0.06
     r = 0.05
-    wheel_pos = jnp.array(
+    wheel_pos = np.array(
         [[-lx, +wy, -h + r], [-lx, -wy, -h + r],
-         [+lx, +wy, -h + r], [+lx, -wy, -h + r]], jnp.float32,
+         [+lx, +wy, -h + r], [+lx, -wy, -h + r]], np.float32,
     )
-    f32 = lambda x: jnp.asarray(x, jnp.float32)
+    f32 = lambda x: np.float32(x)
     return p.replace(
         mass=f32(m),
-        inertia=jnp.array(
+        inertia=np.array(
             [m / 12 * (W**2 + 0.01) * 3.0, m / 12 * (L**2 + 0.01) * 3.0,
-             m / 12 * (L**2 + W**2) * 1.5], jnp.float32),
+             m / 12 * (L**2 + W**2) * 1.5], np.float32),
         wheel_pos_b=wheel_pos,
         steer_kp=f32(120.0),
         steer_kd=f32(8.0),
         steer_effort_limit=f32(2.5),
-        motor_damping=jnp.full((4,), 1100.0, jnp.float32),
+        motor_damping=np.full((4,), 1100.0, np.float32),
         motor_sat_effort=f32(1.0),
         motor_effort_limit=f32(0.25),
         motor_vel_limit=f32(400.0),
-        drive_mask=jnp.ones((4,), jnp.float32),  # 4WD
+        drive_mask=np.ones((4,), np.float32),  # 4WD
         susp_stiffness=f32(suspension_for_mass(m)[0]),
         susp_damping=f32(suspension_for_mass(m)[1]),
     )

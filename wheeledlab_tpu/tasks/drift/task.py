@@ -226,7 +226,11 @@ def cart_off_track(ctx: StepCtx) -> jax.Array:
 def make_drift_task(cfg: DriftTaskCfg) -> TaskModel:
     n = cfg.num_envs
     base_key = jax.random.PRNGKey(cfg.seed)
-    ref_poses = reference_track_poses(jax.random.fold_in(base_key, 17), cfg)
+    # host constant: captured by the jitted sample_spawn closure
+    # (see utils/host.py for why this must not be a device array)
+    import numpy as np
+    ref_poses = np.asarray(
+        reference_track_poses(jax.random.fold_in(base_key, 17), cfg))
 
     # robot assets from the L1 layer (reference: MUSHR_SUS_2WD_CFG at
     # mushr_drift_env_cfg.py:59; F1TENTH_CFG at f1tenth_drift_env_cfg.py:44)
@@ -274,7 +278,7 @@ def make_drift_task(cfg: DriftTaskCfg) -> TaskModel:
         drifting/mdp/events.py:102-133)."""
         k_idx, k_xy, k_yaw = jax.random.split(key, 3)
         idx = jax.random.randint(k_idx, (num,), 0, cfg.num_reset_points)
-        ref = ref_poses[idx]  # (num, 4): x, y, z, yaw
+        ref = jnp.asarray(ref_poses)[idx]  # (num, 4): x, y, z, yaw
         xy_noise = (jax.random.uniform(k_xy, (num, 2)) * 2 - 1) * cfg.pos_noise
         yaw_noise = (jax.random.uniform(k_yaw, (num,)) * 2 - 1) * cfg.yaw_noise
         pos = jnp.stack([ref[:, 0] + xy_noise[:, 0],

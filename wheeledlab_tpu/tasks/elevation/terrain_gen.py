@@ -43,5 +43,8 @@ def generate_elevation_terrain(
     mounds = heights[:, None, None] * jnp.exp(
         -d2 / (2.0 * radii[:, None, None] ** 2))
     height = jnp.max(mounds, axis=0)  # max-combine keeps mound shapes crisp
-    return Heightfield(height=height, cell=jnp.asarray(cell, jnp.float32),
-                       friction=jnp.asarray(friction, jnp.float32))
+    # host leaves: the heightfield is captured by jitted closures and must
+    # embed as an HLO literal, not a device buffer (see utils/host.py)
+    import numpy as np
+    return Heightfield(height=np.asarray(height, np.float32),
+                       cell=np.float32(cell), friction=np.float32(friction))

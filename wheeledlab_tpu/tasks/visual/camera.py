@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from ...utils import math as wmath
@@ -24,7 +25,7 @@ WIDTH, HEIGHT = 80, 60
 FOCAL = 1.9299999475479126
 APERTURE_H = 3.8959999084472656
 APERTURE_V = 2.453000068664551
-CAM_OFFSET_B = jnp.array([0.08, 0.0, 0.10])  # camera_link offset (body frame)
+CAM_OFFSET_B = np.array([0.08, 0.0, 0.10], np.float32)  # camera_link offset (body frame); numpy: jit-captured
 
 
 class ColorMap(struct.PyTreeNode):
@@ -52,7 +53,7 @@ class ColorMap(struct.PyTreeNode):
         row = jnp.floor((y + self.height / 2) / self.cell).astype(jnp.int32)
         col = jnp.clip(col, 0, self.cols - 1)
         row = jnp.clip(row, 0, self.rows - 1)
-        return self.grid[row, col]
+        return jnp.asarray(self.grid)[row, col]  # host const -> literal
 
 
 class ColorMapAtlas(struct.PyTreeNode):
@@ -89,7 +90,8 @@ class ColorMapAtlas(struct.PyTreeNode):
         scs = np.minimum(np.arange(nac) * stride, C - p)
         win = np.lib.stride_tricks.sliding_window_view(g, (p, p))
         rows = win[srs[:, None], scs[None, :]].reshape(nar * nac, p * p)
-        return cls(rows=jnp.asarray(rows), cell=colormap.cell, p=p,
+        return cls(rows=np.ascontiguousarray(rows, np.float32),
+                   cell=np.asarray(colormap.cell), p=p,
                    stride=stride, nar=nar, nac=nac, map_rows=R, map_cols=C)
 
     def extract(self, xy: jax.Array):
@@ -105,7 +107,8 @@ class ColorMapAtlas(struct.PyTreeNode):
                       0, self.nac - 1)
         sr = jnp.minimum(ir * s, self.map_rows - p)
         sc = jnp.minimum(ic * s, self.map_cols - p)
-        return self.rows[ir * self.nac + ic].reshape(p, p), sr, sc
+        return (jnp.asarray(self.rows)[ir * self.nac + ic].reshape(p, p),
+                sr, sc)
 
     def sample_patch(self, patch: jax.Array, sr: jax.Array, sc: jax.Array,
                      xy: jax.Array) -> jax.Array:

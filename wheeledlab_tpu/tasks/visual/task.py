@@ -103,9 +103,10 @@ def make_visual_task(cfg: VisualTaskCfg) -> TaskModel:
         env_size=(cfg.env_rows, cfg.env_cols),
         sub_group_size=(cfg.group_rows, cfg.group_cols),
         num_walkers=cfg.num_walkers)
+    # host leaves: captured by jitted closures (see utils/host.py)
     colormap = ColorMap(
-        grid=jnp.asarray(trav_np, jnp.float32),
-        cell=jnp.asarray(cfg.cell, jnp.float32),
+        grid=np.asarray(trav_np, np.float32),
+        cell=np.float32(cfg.cell),
         rows=cfg.map_rows, cols=cfg.map_cols)
 
     # valid spawn cells (reference generate_random_poses,
@@ -115,7 +116,7 @@ def make_visual_task(cfg: VisualTaskCfg) -> TaskModel:
         (cols_idx - cfg.map_cols // 2) * cfg.cell,   # x from col
         (rows_idx - cfg.map_rows // 2) * cfg.cell,   # y from row
     ], axis=-1).astype(np.float32)
-    spawn_xy = jnp.asarray(spawn_xy_np)
+    spawn_xy = np.asarray(spawn_xy_np, np.float32)
 
     base_params = MUSHR_SUS_CFG   # MuSHR + suspension, 4WD (reference :226)
     action = MUSHR_4WD_ACTION
@@ -157,7 +158,7 @@ def make_visual_task(cfg: VisualTaskCfg) -> TaskModel:
         (visual/mdp/events.py:11-45)."""
         k_idx, k_yaw = jax.random.split(key)
         idx = jax.random.randint(k_idx, (num,), 0, spawn_xy.shape[0])
-        xy = spawn_xy[idx]
+        xy = jnp.asarray(spawn_xy)[idx]
         yaw = jax.random.uniform(k_yaw, (num,), minval=0.0,
                                  maxval=2 * jnp.pi)
         pos = jnp.concatenate(
