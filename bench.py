@@ -18,6 +18,9 @@ import jax.numpy as jnp
 
 def main():
     from wheeledlab_tpu.tasks import make_env
+    from wheeledlab_tpu.utils.rng import enable_fast_prng
+
+    enable_fast_prng()
 
     num_envs = 16384
     rollout_len = 128

@@ -50,6 +50,8 @@ class TrainCfg:
     load_run_checkpoint: int = 0
     profile: bool = False            # capture a jax.profiler device trace of
                                      # iterations 10-12 into <run_dir>/trace
+    fast_prng: bool = True           # TPU-accelerated rbg PRNG (utils/rng.py);
+                                     # no-op on cpu/gpu so goldens stay stable
     log: LogCfg = LogCfg()
 
 
@@ -129,6 +131,10 @@ def train(run_cfg: RunConfig, env=None, max_iterations: Optional[int] = None,
     """Assemble env + learner and run the training loop
     (reference train_rl.py:34-124 equivalent)."""
     from ..tasks import make_env  # late import to avoid cycles
+
+    if run_cfg.train.fast_prng:
+        from ..utils.rng import enable_fast_prng
+        enable_fast_prng()  # must precede PRNGKey creation below
 
     if env is None:
         env = make_env(run_cfg.task_name, num_envs=run_cfg.num_envs,
