@@ -100,7 +100,7 @@ def stuck_term_penalty(ctx: StepCtx) -> jax.Array:
 
 
 def _forward_vel(ctx: StepCtx) -> jax.Array:
-    return jnp.clip(ctx.body_lin_vel[..., 0], a_max=1.2)
+    return jnp.clip(ctx.body_lin_vel[..., 0], max=1.2)
 
 
 def below_height(ctx: StepCtx) -> jax.Array:
