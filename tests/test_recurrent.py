@@ -1,0 +1,118 @@
+"""ActorCriticRecurrent model family: sequence/step consistency, done-masked
+hidden reset, and a full recurrent-PPO train iteration on the drift env."""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from wheeledlab_tpu.rl.ppo import PPOCfg, make_learner
+from wheeledlab_tpu.rl.recurrent import ActorCriticRecurrent, make_ppo_recurrent
+from wheeledlab_tpu.tasks import make_env
+
+OBS, ACT, B, T = 13, 2, 8, 6
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    model = ActorCriticRecurrent(action_dim=ACT, rnn_hidden_size=32)
+    params = model.init(
+        jax.random.PRNGKey(0), model.initial_hidden(1),
+        jnp.zeros((1, 1, OBS)), jnp.zeros((1, 1)))
+    return model, params
+
+
+class TestModule:
+    def test_sequence_equals_stepwise(self, model_and_params):
+        """One T-length sequence apply == T chained single-step applies."""
+        model, params = model_and_params
+        obs_seq = jax.random.normal(jax.random.PRNGKey(1), (T, B, OBS))
+        reset_seq = (jax.random.uniform(jax.random.PRNGKey(2), (T, B)) < 0.3
+                     ).astype(jnp.float32)
+
+        h = model.initial_hidden(B)
+        h_seq, mean_seq, std_seq, val_seq = model.apply(
+            params, h, obs_seq, reset_seq)
+
+        h = model.initial_hidden(B)
+        means, vals = [], []
+        for t in range(T):
+            h, m, s, v = model.apply(
+                params, h, obs_seq[t][None], reset_seq[t][None])
+            means.append(m[0])
+            vals.append(v[0])
+        assert jnp.allclose(mean_seq, jnp.stack(means), atol=1e-5)
+        assert jnp.allclose(val_seq, jnp.stack(vals), atol=1e-5)
+        for a, b in zip(jax.tree.leaves(h_seq), jax.tree.leaves(h)):
+            assert jnp.allclose(a, b, atol=1e-5)
+
+    def test_done_reset_equals_fresh_hidden(self, model_and_params):
+        """reset=1 at step t must produce the same output as starting from a
+        zero hidden state at t (rsl_rl reset(dones) semantics)."""
+        model, params = model_and_params
+        obs = jax.random.normal(jax.random.PRNGKey(3), (3, B, OBS))
+        # warm hidden over 2 steps, then a fully-reset step
+        h = model.initial_hidden(B)
+        h, *_ = model.apply(params, h, obs[:2], jnp.zeros((2, B)))
+        _, mean_reset, _, val_reset = model.apply(
+            params, h, obs[2:], jnp.ones((1, B)))
+        _, mean_fresh, _, val_fresh = model.apply(
+            params, model.initial_hidden(B), obs[2:], jnp.zeros((1, B)))
+        assert jnp.allclose(mean_reset, mean_fresh, atol=1e-6)
+        assert jnp.allclose(val_reset, val_fresh, atol=1e-6)
+
+    def test_memory_actually_carries(self, model_and_params):
+        """Without reset, earlier observations must influence later outputs."""
+        model, params = model_and_params
+        obs = jnp.zeros((2, B, OBS))
+        obs_perturbed = obs.at[0].set(1.0)  # differ only at t=0
+        h0 = model.initial_hidden(B)
+        _, m1, _, _ = model.apply(params, h0, obs, jnp.zeros((2, B)))
+        _, m2, _, _ = model.apply(params, h0, obs_perturbed, jnp.zeros((2, B)))
+        assert not jnp.allclose(m1[1], m2[1], atol=1e-6)
+
+
+class TestRecurrentPPO:
+    def test_train_iteration_runs_and_is_finite(self):
+        env = make_env("MushrDriftRL-v0", num_envs=16)
+        cfg = PPOCfg(policy_class="ActorCriticRecurrent", rnn_hidden_size=32,
+                     num_steps_per_env=8, num_learning_epochs=2,
+                     num_mini_batches=2)
+        init_fn, train_iter, policy_apply = make_learner(env, cfg)
+        state = jax.jit(init_fn)(jax.random.PRNGKey(0))
+        state, metrics = jax.jit(train_iter)(state)
+        state, metrics = jax.jit(train_iter)(state)
+        assert int(state.iteration) == 2
+        for k, v in metrics.items():
+            assert bool(jnp.isfinite(v).all()), (k, v)
+        # hidden advanced and is finite
+        for leaf in jax.tree.leaves(state.hidden):
+            assert bool(jnp.isfinite(leaf).all())
+            assert leaf.shape[0] == 16
+        # inference hook returns next hidden
+        mean, std, value, hidden = policy_apply(state.params, state.obs)
+        assert mean.shape == (16, env.action_dim)
+
+    def test_loss_decreases_on_frozen_batch(self):
+        """A few updates on the same rollout should reduce the PPO loss —
+        catches broken gradient flow through the BPTT chain."""
+        env = make_env("MushrDriftRL-v0", num_envs=8)
+        cfg = PPOCfg(policy_class="ActorCriticRecurrent", rnn_hidden_size=16,
+                     num_steps_per_env=8, num_learning_epochs=1,
+                     num_mini_batches=1, schedule="fixed",
+                     learning_rate=3e-4)
+        internals = {}
+        init_fn, train_iter, _ = make_ppo_recurrent(env, cfg, internals)
+        state = jax.jit(init_fn)(jax.random.PRNGKey(1))
+        _, _, _, _, h0, traj, _, key = jax.jit(internals["rollout"])(state)
+        _, _, last_v = (lambda r: (None, None, r))(
+            jnp.zeros((8,)))  # zero bootstrap is fine for this check
+        _, returns, norm_adv = internals["compute_gae"](traj, last_v)
+
+        params, opt_state = state.params, state.opt_state
+        losses = []
+        for i in range(4):
+            params, opt_state, m = jax.jit(internals["update_epochs"])(
+                jax.random.PRNGKey(2), params, opt_state, h0, traj, returns,
+                norm_adv)
+            losses.append(float(m[0]))
+        assert losses[-1] < losses[0], losses

@@ -35,7 +35,7 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
-    from ..rl.ppo import PPOCfg, make_ppo
+    from ..rl.ppo import PPOCfg, make_learner
     from ..rl.runner import _checkpoint_manager, restore_checkpoint
     from ..tasks import make_env
     from ..utils import math as wmath
@@ -55,7 +55,8 @@ def main(argv=None):
     # restore params from the full-TrainState checkpoint: build only an
     # abstract template (eval_shape — no device compute) and restore into it
     train_env = make_env(task_name, num_envs=saved["num_envs"])
-    init_fn, _, policy_apply = make_ppo(train_env, agent_cfg)
+    init_fn, _, policy_apply = make_learner(train_env, agent_cfg)
+    recurrent = agent_cfg.policy_class == "ActorCriticRecurrent"
     template = jax.eval_shape(init_fn, jax.random.PRNGKey(0))
     mgr = _checkpoint_manager(run_dir)
     state = restore_checkpoint(mgr, args.checkpoint, template)
@@ -63,18 +64,32 @@ def main(argv=None):
 
     env_state, obs = jax.jit(env.reset)(jax.random.PRNGKey(args.num_envs))
 
+    if recurrent:
+        from ..rl.recurrent import ActorCriticRecurrent
+
+        hidden0 = ActorCriticRecurrent(
+            action_dim=env.action_dim,
+            rnn_hidden_size=agent_cfg.rnn_hidden_size,
+            rnn_num_layers=agent_cfg.rnn_num_layers,
+        ).initial_hidden(args.num_envs)
+
     @jax.jit
     def rollout(env_state, obs):
         def body(carry, _):
-            s, o = carry
-            mean, _, _ = policy_apply(params, o)   # deterministic policy
+            s, o, hidden, reset_prev = carry
+            if recurrent:
+                mean, _, _, hidden = policy_apply(params, o, hidden,
+                                                  reset_prev)
+            else:
+                mean, _, _ = policy_apply(params, o)   # deterministic policy
             s, out = env.step(s, mean)
             yaw = wmath.yaw_from_quat(s.vehicle.quat)
-            return (s, out.obs), (o, mean, s.vehicle.pos, yaw, out.reward,
-                                  s.command)
+            carry = (s, out.obs, hidden, out.done.astype(jnp.float32))
+            return carry, (o, mean, s.vehicle.pos, yaw, out.reward, s.command)
 
-        (env_state, obs), traj = jax.lax.scan(
-            body, (env_state, obs), None, length=args.steps)
+        carry0 = (env_state, obs, hidden0 if recurrent else 0,
+                  jnp.zeros((args.num_envs,)))
+        _, traj = jax.lax.scan(body, carry0, None, length=args.steps)
         return traj
 
     obs_t, act_t, pos_t, yaw_t, rew_t, cmd_t = [

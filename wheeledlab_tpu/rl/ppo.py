@@ -45,11 +45,15 @@ class PPOCfg:
     max_grad_norm: float = 1.0
     min_lr: float = 1.0e-5
     max_lr: float = 1.0e-2
-    # policy
+    # policy (policy_class parity: rsl_rl RslRlPpoActorCriticCfg.class_name —
+    # "ActorCritic" | "ActorCriticRecurrent")
+    policy_class: str = "ActorCritic"
     actor_hidden: Tuple[int, ...] = (64, 64)
     critic_hidden: Tuple[int, ...] = (64, 64)
     activation: str = "elu"
     init_noise_std: float = 1.0
+    rnn_hidden_size: int = 256       # recurrent policy only (rsl_rl default)
+    rnn_num_layers: int = 1
 
 
 class Transition(NamedTuple):
@@ -269,3 +273,16 @@ def make_ppo(env: WheeledEnv, cfg: PPOCfg, _internals: dict | None = None):
         _internals.update(rollout=rollout, compute_gae=compute_gae,
                           update_epochs=update_epochs, model=model)
     return init_fn, train_iteration, policy_apply
+
+
+def make_learner(env: WheeledEnv, cfg: PPOCfg, _internals: dict | None = None):
+    """Policy-class dispatch (parity: rsl_rl resolves
+    `RslRlPpoActorCriticCfg.class_name` to ActorCritic/ActorCriticRecurrent;
+    the runner is agnostic to which)."""
+    if cfg.policy_class == "ActorCritic":
+        return make_ppo(env, cfg, _internals)
+    if cfg.policy_class == "ActorCriticRecurrent":
+        from .recurrent import make_ppo_recurrent
+
+        return make_ppo_recurrent(env, cfg, _internals)
+    raise ValueError(f"unknown policy_class {cfg.policy_class!r}")

@@ -20,7 +20,7 @@ import jax
 import numpy as np
 
 from ..utils.config import RUN_CONFIGS, configclass, to_dict
-from .ppo import PPOCfg, TrainState, make_ppo
+from .ppo import PPOCfg, TrainState, make_learner, make_ppo
 
 
 @configclass
@@ -140,7 +140,7 @@ def train(run_cfg: RunConfig, env=None, max_iterations: Optional[int] = None,
         env = make_env(run_cfg.task_name, num_envs=run_cfg.num_envs,
                        overrides=run_cfg.env_overrides)
 
-    init_fn, train_iteration, policy_apply = make_ppo(env, run_cfg.agent)
+    init_fn, train_iteration, policy_apply = make_learner(env, run_cfg.agent)
     init_jit = jax.jit(init_fn)
     iter_jit = jax.jit(train_iteration, donate_argnums=(0,))
 
