@@ -7,9 +7,14 @@ Baseline: the reference's implied single-GPU throughput is ~90k env-steps/s
 over that number.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+`bench.py --train [...]` instead runs the train-to-return benchmark
+(scripts/train_bench.py — wall-clock for RSS_DRIFT to reach a target return;
+the BASELINE.json "<10 min" north star), forwarding remaining args.
 """
 
 import json
+import sys
 import time
 
 import jax
@@ -63,4 +68,13 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--train" in sys.argv:
+        import os
+
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "scripts"))
+        import train_bench
+
+        argv = [a for a in sys.argv[1:] if a != "--train"]
+        train_bench.main(argv)
+    else:
+        main()

@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Train-to-return benchmark — the machine-checkable version of the
+reference's headline capability claim ("a couple hours to a transferable
+policy", reference README.md:68) and BASELINE.json's north star
+("RSS_DRIFT_CONFIG to reference return <10 min").
+
+Runs a named run config on the current backend until `--target-return` is
+reached (or the iteration budget runs out) and prints ONE JSON line:
+
+    {"metric": "drift_train_to_return_s", "value": <wall s>,
+     "unit": "s", "return": <reached>, "env_steps": N, "iterations": N,
+     "target_return": T, "reached": bool}
+
+The run directory (metrics.jsonl + run_config.json + checkpoints) lands under
+--logs-dir; commit it under docs/runs/ as the learning-evidence artifact.
+
+    python scripts/train_bench.py --config RSS_DRIFT_CONFIG \
+        --target-return 800 --max-iterations 2000 --logs-dir docs/runs \
+        --run-name rss_drift_tpu
+"""
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default="RSS_DRIFT_CONFIG")
+    p.add_argument("--target-return", type=float, default=800.0)
+    p.add_argument("--max-iterations", type=int, default=2000)
+    p.add_argument("--num-envs", type=int, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--logs-dir", default="logs")
+    p.add_argument("--run-name", default="train_bench")
+    p.add_argument("--log-every", type=int, default=10)
+    p.add_argument("--no-checkpoints", action="store_true")
+    args = p.parse_args(sys.argv[1:] if argv is None else argv)
+
+    import wheeledlab_tpu.rl  # noqa: F401  registers run configs
+    from wheeledlab_tpu.rl.runner import train
+    from wheeledlab_tpu.utils.config import RUN_CONFIGS
+
+    cfg = RUN_CONFIGS.get(args.config)
+    cfg = cfg.replace(train=cfg.train.replace(
+        seed=args.seed,
+        num_iterations=args.max_iterations,
+        target_return=args.target_return,
+        log=cfg.train.log.replace(
+            logs_dir=args.logs_dir, run_name=args.run_name,
+            log_every=args.log_every,
+            no_checkpoints=args.no_checkpoints)))
+    if args.num_envs:
+        cfg = cfg.replace(num_envs=args.num_envs)
+
+    t0 = time.time()
+    state, metrics = train(cfg)
+    wall = time.time() - t0
+
+    import jax
+
+    iterations = int(jax.device_get(state.iteration))
+    env_steps = iterations * cfg.agent.num_steps_per_env * cfg.num_envs
+    final_return = metrics.get("episode/return", float("nan"))
+    print(json.dumps({
+        "metric": f"{args.config.lower()}_train_to_return_s",
+        "value": round(wall, 1),
+        "unit": "s",
+        "return": round(final_return, 1),
+        "target_return": args.target_return,
+        "reached": final_return >= args.target_return,
+        "iterations": iterations,
+        "env_steps": env_steps,
+        "vs_baseline": round(7200.0 / max(wall, 1e-9), 2),  # ref: ~2 h (README.md:68)
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -104,28 +104,10 @@ def main(argv=None):
           f"(obs {obs_t.shape}, mean reward {rew_t.mean():.3f})")
 
     if args.video:
-        from ..render.topdown import (
-            render_drift_frames, render_map_frames, save_video,
-        )
+        from ..render.topdown import render_task_frames, save_video
 
-        if "Drift" in task_name:
-            frames = render_drift_frames(pos_t[:, :, :2], yaw_t)
-        elif "Elevation" in task_name:
-            hf = env.task.terrain
-            frames = render_map_frames(
-                pos_t[:, :, :2], np.asarray(hf.height).T, float(hf.cell),
-                yaws=yaw_t, goals=cmd_t[:, :, :2])
-        else:  # visual: traversability map background
-            from ..tasks.visual.map_gen import generate_traversability_map
-            from ..tasks.visual.task import VisualTaskCfg
-
-            vc = VisualTaskCfg()
-            grid = generate_traversability_map(
-                vc.seed, (vc.map_rows, vc.map_cols),
-                (vc.env_rows, vc.env_cols), (vc.group_rows, vc.group_cols),
-                vc.num_walkers)
-            frames = render_map_frames(
-                pos_t[:, :, :2], grid.astype(np.float32), vc.cell, yaws=yaw_t)
+        frames = render_task_frames(env, task_name, pos_t[:, :, :2], yaw_t,
+                                    goals=cmd_t[:, :, :2])
         vid = save_video(frames, os.path.join(play_dir, f"{args.run}.avi"))
         print(f"saved video to {vid}")
 

@@ -130,6 +130,14 @@ class TaskModel(NamedTuple):
     command_dim: int = 3
     terrain_atlas: Optional[object] = None  # PatchAtlas for fast rough-terrain
                                             # contact (see sim/terrain.py)
+    metric_fns: Dict[str, Callable[[StepCtx], jax.Array]] = {}
+    # ^ task-success metrics ([B] floats), surfaced per step in
+    # `info["metrics/<name>"]` and averaged into training metrics — the
+    # machine-checkable learning evidence the reference only had via W&B
+    # curves (README.md:88). Evaluated on the post-termination, pre-reset ctx.
+    render_grid: Optional[Tuple[Any, float]] = None
+    # ^ (grid2d np.ndarray, cell_m): top-down background for video rendering
+    # (elevation heightfield / visual traversability map); None -> oval track.
 
 
 class EnvState(struct.PyTreeNode):
@@ -322,6 +330,9 @@ class WheeledEnv:
         }
         for name, v in term_flags.items():
             info[f"done/{name}"] = v
+        info["done/time_out"] = time_out
+        for name, fn in task.metric_fns.items():
+            info[f"metrics/{name}"] = fn(ctx)
         return new_state, StepOutput(obs=obs, reward=reward, done=done,
                                      time_out=time_out, info=info)
 

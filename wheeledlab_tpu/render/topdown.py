@@ -156,6 +156,28 @@ def render_map_frames(
     return frames
 
 
+def render_task_frames(
+    env,
+    task_name: str,
+    positions: np.ndarray,                # (T, B, 2)
+    yaws: Optional[np.ndarray] = None,    # (T, B)
+    goals: Optional[np.ndarray] = None,   # (T, B, 2) command xy
+) -> np.ndarray:
+    """Render with the renderer that matches the task's world (parity with
+    the reference's per-env RTX recordings, custom_video_recorder.py:44-75):
+    oval track for drift, heightfield/traversability-map background (with
+    goal markers when the task has commands) for elevation/visual. Used by
+    both the training-time recorder (rl/runner.py) and the play CLI."""
+    del task_name  # dispatch is on the task model, not the name
+    if env.task.render_grid is not None:
+        grid, cell = env.task.render_grid
+        if env.task.command is None:
+            goals = None
+        return render_map_frames(positions, np.asarray(grid, np.float32),
+                                 float(cell), yaws=yaws, goals=goals)
+    return render_drift_frames(positions, yaws)
+
+
 def save_video(frames: np.ndarray, path: str, fps: int = 50) -> str:
     """Encode frames; falls back to .npy when no encoder is present."""
     try:

@@ -56,6 +56,26 @@ class PPOCfg:
     rnn_num_layers: int = 1
 
 
+def aggregate_info_metrics(infos: Dict[str, jax.Array], done_mask: jax.Array,
+                           n_done: jax.Array) -> Dict[str, jax.Array]:
+    """Fold per-step env info channels into iteration metrics:
+
+    - `rew/*` (per-term rewards) and `metrics/*` (task-success metrics, e.g.
+      drift slip angle, visual traversable fraction): mean over the rollout.
+    - `done/*` (termination flags incl. time_out): fraction of finished
+      episodes that ended for that reason — e.g. `done/at_goal` is the
+      elevation task's goal-reach rate (the reference surfaced these via the
+      reward manager's `infos["episode"]` sums, modified_rsl_rl_runner.py:95-98).
+    """
+    out: Dict[str, jax.Array] = {}
+    for name in infos:
+        if name.startswith("rew/") or name.startswith("metrics/"):
+            out[name] = infos[name].mean()
+        elif name.startswith("done/"):
+            out[name] = infos[name].sum() / n_done
+    return out
+
+
 class Transition(NamedTuple):
     obs: jax.Array
     action: jax.Array
@@ -133,6 +153,7 @@ def make_ppo(env: WheeledEnv, cfg: PPOCfg, _internals: dict | None = None):
                      + env_state.vehicle.quat[:8, 1] * env_state.vehicle.quat[:8, 2]),
                 1 - 2 * (env_state.vehicle.quat[:8, 2] ** 2
                          + env_state.vehicle.quat[:8, 3] ** 2))
+            info["traj/cmd"] = env_state.command[:8, :2]
             return (env_state, out.obs), (tr, info)
 
         keys = jax.random.split(state.key, cfg.num_steps_per_env + 1)
@@ -255,14 +276,18 @@ def make_ppo(env: WheeledEnv, cfg: PPOCfg, _internals: dict | None = None):
             "episode/length": ep_len,
             "episode/num_dones": done_mask.sum(),
             "rollout/reward_mean": traj.reward.mean(),
+            # NaN guard (parity: modified_rsl_rl_runner.py:74-75 raises on
+            # NaN actions mid-training); the runner raises when this fires
+            "nan/detected": 1.0 - (jnp.isfinite(traj.action).all()
+                                   & jnp.isfinite(loss_metrics).all()
+                                   ).astype(jnp.float32),
         }
-        for name in infos:
-            if name.startswith("rew/"):
-                metrics[name] = infos[name].mean()
+        metrics.update(aggregate_info_metrics(infos, done_mask, n_done))
         # [T, 8, ...] rollout trajectories for video rendering (host side
         # pops these before scalarizing)
         metrics["traj/pos"] = infos["traj/pos"]
         metrics["traj/yaw"] = infos["traj/yaw"]
+        metrics["traj/cmd"] = infos["traj/cmd"]
 
         new_state = TrainState(
             params=params, opt_state=opt_state, env_state=env_state,

@@ -31,6 +31,7 @@ from flax import linen as nn
 from flax import struct
 
 from ..envs.env import EnvState, WheeledEnv
+from .ppo import aggregate_info_metrics
 from .networks import (
     MLP, gaussian_entropy, gaussian_kl, gaussian_log_prob,
 )
@@ -315,10 +316,11 @@ def make_ppo_recurrent(env: WheeledEnv, cfg, _internals: dict | None = None):
             "episode/length": (infos["episode_length"] * done_mask).sum() / n_done,
             "episode/num_dones": done_mask.sum(),
             "rollout/reward_mean": traj.reward.mean(),
+            "nan/detected": 1.0 - (jnp.isfinite(traj.action).all()
+                                   & jnp.isfinite(loss_metrics).all()
+                                   ).astype(jnp.float32),
         }
-        for name in infos:
-            if name.startswith("rew/"):
-                metrics[name] = infos[name].mean()
+        metrics.update(aggregate_info_metrics(infos, done_mask, n_done))
 
         new_state = RecurrentTrainState(
             params=params, opt_state=opt_state, env_state=env_state, obs=obs,

@@ -52,6 +52,10 @@ class TrainCfg:
                                      # iterations 10-12 into <run_dir>/trace
     fast_prng: bool = True           # TPU-accelerated rbg PRNG (utils/rng.py);
                                      # no-op on cpu/gpu so goldens stay stable
+    target_return: Optional[float] = None
+    # ^ early stop once episode/return reaches this at a log point — the
+    # train-to-return benchmark knob (BASELINE.json "RSS_DRIFT to reference
+    # return <10 min"; scripts/train_bench.py)
     log: LogCfg = LogCfg()
 
 
@@ -96,6 +100,21 @@ class MetricLogger:
             self._fh.flush()
         if self._wandb is not None:
             self._wandb.log(metrics, step=it)
+
+    def log_video(self, it: int, frames: np.ndarray, fps: int = 50):
+        """Upload a (T, H, W, 3) uint8 clip to wandb (parity: the reference
+        uploads training videos via the W&B writer,
+        custom_video_recorder.py:49-75)."""
+        if self._wandb is None:
+            return
+        try:
+            import wandb
+
+            self._wandb.log(
+                {"video": wandb.Video(frames.transpose(0, 3, 1, 2), fps=fps)},
+                step=it)
+        except Exception:
+            pass
 
     def close(self):
         if self._fh is not None:
@@ -164,30 +183,50 @@ def train(run_cfg: RunConfig, env=None, max_iterations: Optional[int] = None,
     steps_per_iter = run_cfg.agent.num_steps_per_env * env.num_envs
     t0 = time.time()
     last_metrics: Dict[str, float] = {}
+    # wall-clock attribution per phase (reference tracked collection/learn
+    # splits, modified_rsl_rl_runner.py:111-120; here rollout+update fuse
+    # into one XLA program, so the split is iterate / video / checkpoint)
+    from ..utils.profiling import PhaseTimer
+    timer = PhaseTimer()
     for it in range(int(state.iteration), n_iter):
         if run_cfg.train.profile and it == 10:
             jax.profiler.start_trace(os.path.join(run_dir, "trace"))
         if run_cfg.train.profile and it == 13:
             jax.profiler.stop_trace()
-        state, metrics = iter_jit(state)
+        with timer.phase("iterate"):
+            state, metrics = iter_jit(state)
         traj_pos = metrics.pop("traj/pos", None)
         traj_yaw = metrics.pop("traj/yaw", None)
+        traj_cmd = metrics.pop("traj/cmd", None)
         if (log_cfg.video and not log_cfg.test_mode and traj_pos is not None
                 and (it + 1) % log_cfg.video_interval == 0):
-            from ..render.topdown import render_drift_frames, save_video
+            from ..render.topdown import render_task_frames, save_video
 
             vid_dir = os.path.join(run_dir, "videos")
             os.makedirs(vid_dir, exist_ok=True)
-            frames = render_drift_frames(
-                np.asarray(traj_pos), np.asarray(traj_yaw))
-            save_video(frames, os.path.join(vid_dir, f"iter_{it + 1}.avi"))
+            with timer.phase("video"):
+                frames = render_task_frames(
+                    env, run_cfg.task_name, np.asarray(traj_pos),
+                    np.asarray(traj_yaw),
+                    None if traj_cmd is None else np.asarray(traj_cmd))
+                save_video(frames, os.path.join(vid_dir, f"iter_{it + 1}.avi"))
+                logger.log_video(it + 1, frames)
         if (it + 1) % log_cfg.log_every == 0 or it == n_iter - 1:
             # ONE batched device->host pull; per-item float(np.asarray(v))
-            # pays a tunnel round-trip per metric (~10x slower, measured)
-            host = {k: float(v) for k, v in jax.device_get(metrics).items()}
+            # pays a tunnel round-trip per metric (~10x slower, measured).
+            # Iterations dispatch async, so queued device work is paid here:
+            # time/iterate = host dispatch, time/device_sync = device backlog.
+            with timer.phase("device_sync"):
+                host = {k: float(v)
+                        for k, v in jax.device_get(metrics).items()}
+            if host.pop("nan/detected", 0.0) > 0.0:
+                raise RuntimeError(
+                    f"NaN detected in actions/losses at iteration {it + 1} "
+                    "(parity: modified_rsl_rl_runner.py:74-75)")
             elapsed = time.time() - t0
             host["perf/env_steps_per_s"] = steps_per_iter * (it + 1) / elapsed
             host["perf/wall_s"] = elapsed
+            host.update(timer.summary())
             logger.log(it + 1, host)
             last_metrics = host
             if verbose:
@@ -196,10 +235,20 @@ def train(run_cfg: RunConfig, env=None, max_iterations: Optional[int] = None,
                       f" | kl {host.get('loss/kl', 0.0):.4f}"
                       f" | {host['perf/env_steps_per_s']:.2e} steps/s",
                       flush=True)
+            if (run_cfg.train.target_return is not None
+                    and host.get("episode/return", float("-inf"))
+                    >= run_cfg.train.target_return):
+                if verbose:
+                    print(f"target return {run_cfg.train.target_return} "
+                          f"reached at iteration {it + 1}", flush=True)
+                break
         if ckpt_mgr is not None and (it + 1) % log_cfg.checkpoint_every == 0:
-            save_checkpoint(ckpt_mgr, it + 1, state)
+            with timer.phase("checkpoint"):
+                save_checkpoint(ckpt_mgr, it + 1, state)
     if ckpt_mgr is not None:
-        save_checkpoint(ckpt_mgr, n_iter, state)
+        final_step = int(jax.device_get(state.iteration))
+        if ckpt_mgr.latest_step() != final_step:
+            save_checkpoint(ckpt_mgr, final_step, state)
         ckpt_mgr.wait_until_finished()
     logger.close()
     return state, last_metrics

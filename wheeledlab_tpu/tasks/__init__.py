@@ -14,29 +14,37 @@ def _register_all():
     if "MushrDriftRL-v0" in TASKS:
         return
 
-    # Play variants mirror the reference (mushr_drift_env_cfg.py:410-430):
-    # deterministic resets + terminations stripped; DR events and obs
-    # corruption stay ON (sim2real realism).
+    # Play variants mirror the reference (mushr_drift_env_cfg.py:410-430,
+    # mushr_visual_env_cfg.py:455-470): rewards, curriculum and terminations
+    # stripped (set to None in the reference play cfgs), deterministic resets
+    # (dist_noise=0, yaw_noise=0); DR events and obs corruption stay ON
+    # (sim2real realism).
     TASKS.register("MushrDriftRL-v0", {
         "cfg": DriftTaskCfg(),
         "play_cfg": DriftTaskCfg(pos_noise=0.0, yaw_noise=0.0,
-                                 terminations_enabled=False),
+                                 terminations_enabled=False,
+                                 rewards_enabled=False),
         "make": make_drift_env,
     })
     TASKS.register("F1TenthDriftRL-v0", {
         "cfg": DriftTaskCfg(robot="f1tenth", num_envs=256),
         "play_cfg": DriftTaskCfg(robot="f1tenth", num_envs=256,
                                  pos_noise=0.0, yaw_noise=0.0,
-                                 terminations_enabled=False),
+                                 terminations_enabled=False,
+                                 rewards_enabled=False),
         "make": make_drift_env,
     })
 
     try:
         from .elevation.task import ElevationTaskCfg, make_elevation_env
 
+        # the reference's MushrElevationPlayEnvCfg (:472-474) strips nothing
+        # (empty subclass); terminations/rewards are stripped here for
+        # consistency with the other play variants
         TASKS.register("MushrElevationRL-v0", {
             "cfg": ElevationTaskCfg(),
-            "play_cfg": ElevationTaskCfg(terminations_enabled=False),
+            "play_cfg": ElevationTaskCfg(terminations_enabled=False,
+                                         rewards_enabled=False),
             "make": make_elevation_env,
         })
     except ImportError:
@@ -47,7 +55,8 @@ def _register_all():
 
         TASKS.register("MushrVisualRL-v0", {
             "cfg": VisualTaskCfg(),
-            "play_cfg": VisualTaskCfg(terminations_enabled=False),
+            "play_cfg": VisualTaskCfg(terminations_enabled=False,
+                                      rewards_enabled=False),
             "make": make_visual_env,
         })
     except ImportError:

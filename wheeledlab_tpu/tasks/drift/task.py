@@ -64,6 +64,8 @@ class DriftTaskCfg:
     events_enabled: bool = True
     terminations_enabled: bool = True  # Play variant strips terminations
                                        # (reference mushr_drift_env_cfg.py:425-427)
+    rewards_enabled: bool = True       # Play strips rewards + curriculum too
+                                       # (rewards/curriculum = None, :425-427)
     ground_friction: float = 1.0     # carpet dynamic friction (:45-50)
 
 
@@ -219,6 +221,26 @@ def cart_off_track(ctx: StepCtx) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
+# Task-success metrics (surfaced as metrics/* in training logs; the
+# machine-checkable version of the reference's W&B-curve evidence)
+# ---------------------------------------------------------------------------
+
+
+def slip_deg(ctx: StepCtx, min_vel_x: float = 1.0) -> jax.Array:
+    """Mean |slip angle| in degrees over envs that are actually moving
+    (gated like the side_slip reward, mushr_drift_env_cfg.py:219-230). A
+    policy that has learned to drift holds this in the 13-25 deg band."""
+    vel = ctx.body_lin_vel
+    slip = jnp.abs(jnp.arctan2(vel[..., 1], vel[..., 0]))
+    return jnp.where(jnp.abs(vel[..., 0]) >= min_vel_x,
+                     jnp.rad2deg(slip), 0.0)
+
+
+def ground_speed(ctx: StepCtx) -> jax.Array:
+    return jnp.linalg.norm(ctx.body_lin_vel[..., :2], axis=-1)
+
+
+# ---------------------------------------------------------------------------
 # Task assembly
 # ---------------------------------------------------------------------------
 
@@ -228,8 +250,8 @@ def make_drift_task(cfg: DriftTaskCfg) -> TaskModel:
     base_key = jax.random.PRNGKey(cfg.seed)
     # host constant: captured by the jitted sample_spawn closure
     # (see utils/host.py for why this must not be a device array)
-    import numpy as np
-    ref_poses = np.asarray(
+    from ...utils.host import host_const
+    ref_poses = host_const(
         reference_track_poses(jax.random.fold_in(base_key, 17), cfg))
 
     # robot assets from the L1 layer (reference: MUSHR_SUS_2WD_CFG at
@@ -304,13 +326,13 @@ def make_drift_task(cfg: DriftTaskCfg) -> TaskModel:
         RewardTerm("turn_energy", 20.0, energy_through_turn),
         RewardTerm("cross_track", -50.0, cross_track_dist),
         RewardTerm("term_pens", -5000.0, term_pens_safe),
-    )
+    ) if cfg.rewards_enabled else ()
 
     curriculum = (
         CurriculumTerm("side_slip", 20.0, 20, 10),
         CurriculumTerm("tlgr", 10.0, 20, 5),
         CurriculumTerm("term_pens", -1000.0, 50, 5),
-    )
+    ) if cfg.rewards_enabled else ()
 
     pushes = (
         PushEvent(interval_range_s=(0.1, 0.4), lin_x=(-0.1, 0.1),
@@ -332,6 +354,7 @@ def make_drift_task(cfg: DriftTaskCfg) -> TaskModel:
         observe=observe,
         curriculum=curriculum,
         pushes=pushes,
+        metric_fns={"slip_deg": slip_deg, "speed": ground_speed},
     )
 
 

@@ -12,6 +12,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ...envs.env import (
     CommandCfg, CurriculumTerm, EnvCfg, RewardTerm, StepCtx, TaskModel,
@@ -55,6 +56,7 @@ class ElevationTaskCfg:
     wheel_friction: float = 1.0   # dynamic friction fixed at 1.0 (:391-393)
     events_enabled: bool = True
     terminations_enabled: bool = True  # Play strips terminations (:472-475)
+    rewards_enabled: bool = True       # Play strips rewards + curriculum
     enable_corruption: bool = False  # reference ConcatObs disables corruption
 
 
@@ -131,6 +133,22 @@ def at_goal(ctx: StepCtx, dist: float = 0.5) -> jax.Array:
     return d < dist
 
 
+# --------------------------------------------------------------------------
+# Task-success metrics (training-log evidence; done/at_goal — the goal-reach
+# rate among finished episodes — comes from the termination flag itself)
+# --------------------------------------------------------------------------
+
+
+def goal_distance(ctx: StepCtx) -> jax.Array:
+    return jnp.linalg.norm(
+        ctx.command[..., :2] - ctx.vehicle.pos[..., :2], axis=-1)
+
+
+def elevation_gain(ctx: StepCtx) -> jax.Array:
+    """Height of local ground under the robot — rises as policies climb."""
+    return ctx.terrain.lookup(ctx.vehicle.pos[..., :2])
+
+
 # ---------------------------------------------------------------------------
 # Observations (ElevationObsCfg, :57-88)
 # ---------------------------------------------------------------------------
@@ -149,14 +167,15 @@ def make_elevation_obs(atlas):
         yaw = euler[..., 2]
         # world-corrected height map: terrain height around the robot,
         # yaw-aligned grid scan == RayCaster GridPattern attach_yaw_only
-        # (:132-142), relative to the robot's ground height like
-        # world_height_map (:44-48)
+        # (:132-142). Corrected by the robot's ACTUAL z like world_height_map
+        # (:44-48, `height_scan + (root_z - 0.19)` with 0.19 = rest height):
+        # suspension compression / airborne state stays visible in the obs —
+        # the scan reads lower while the chassis rides higher.
         def one(pos, th):
             patch = atlas.extract(pos)
-            scan = patch.grid_scan(pos, th, SCAN_SIZE, SCAN_RES)
-            ground = patch.lookup_and_normal(pos)[0]
-            return scan - ground
-        rel_scan = jax.vmap(one)(v.pos[..., :2], yaw)
+            return patch.grid_scan(pos, th, SCAN_SIZE, SCAN_RES)
+        scan = jax.vmap(one)(v.pos[..., :2], yaw)
+        rel_scan = scan - (v.pos[..., 2] - REST_H)[..., None]
         return _concat_obs(ctx, goal_rel, euler, rel_scan)
 
     return elevation_obs
@@ -187,7 +206,11 @@ def make_elevation_task(cfg: ElevationTaskCfg) -> TaskModel:
         friction=cfg.wheel_friction)
     # Patch atlas shared by wheel contact (dynamics.step) and the height-scan
     # obs: p=24/stride=6 covers wheel reach + travel AND the 2.5 m scan.
-    atlas = terrain.build_atlas(p=24, stride=6)
+    # host_const: atlas + terrain are captured by jitted closures
+    # (utils/host.py — leaves must embed as HLO literals, not device buffers)
+    from ...utils.host import host_const
+    terrain = host_const(terrain)
+    atlas = host_const(terrain.build_atlas(p=24, stride=6))
 
     # MUSHR_SUS 4WD asset (reference mushr_elevation_env_cfg.py:130 +
     # Mushr4WDActionCfg)
@@ -233,12 +256,12 @@ def make_elevation_task(cfg: ElevationTaskCfg) -> TaskModel:
         RewardTerm("height_z", 5000.0, higher_elevation),
         RewardTerm("falling_penalty", 0.0, is_falling_penalty),
         RewardTerm("termination_penalty", -200.0, stuck_term_penalty),
-    )
+    ) if cfg.rewards_enabled else ()
 
     curriculum = (
         CurriculumTerm("vel_towards_goal", 5.0, 50, 5),
         CurriculumTerm("falling_penalty", 1.0, 50, 10),
-    )
+    ) if cfg.rewards_enabled else ()
 
     command = CommandCfg(
         pos_x=(-cfg.goal_range, cfg.goal_range),
@@ -263,6 +286,9 @@ def make_elevation_task(cfg: ElevationTaskCfg) -> TaskModel:
         curriculum=curriculum,
         command=command,
         terrain_atlas=atlas,
+        metric_fns={"goal_dist": goal_distance,
+                    "ground_height": elevation_gain},
+        render_grid=(np.asarray(terrain.height).T, float(terrain.cell)),
     )
 
 

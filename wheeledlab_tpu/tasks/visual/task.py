@@ -58,6 +58,7 @@ class VisualTaskCfg:
     wheel_mass_range: Tuple[float, float] = (0.01, 0.3)  # abs -> spin inertia
     events_enabled: bool = True
     terminations_enabled: bool = True  # Play strips terminations (:455-470)
+    rewards_enabled: bool = True       # Play strips rewards too (:469)
     enable_corruption: bool = True   # Unoise on vel/action obs (:46-52)
     exact_render: bool = False       # True: per-pixel global map gathers
                                      # (reference-exact far field, ~10x slower
@@ -110,13 +111,15 @@ def make_visual_task(cfg: VisualTaskCfg) -> TaskModel:
         rows=cfg.map_rows, cols=cfg.map_cols)
 
     # valid spawn cells (reference generate_random_poses,
-    # visual/utils/__init__.py:190-205): any traversable cell
+    # visual/utils/__init__.py:190-205): any traversable cell.
+    # host_const: captured by the jitted sample_spawn closure (utils/host.py)
+    from ...utils.host import host_const
+
     rows_idx, cols_idx = np.nonzero(trav_np)
-    spawn_xy_np = np.stack([
+    spawn_xy = host_const(np.stack([
         (cols_idx - cfg.map_cols // 2) * cfg.cell,   # x from col
         (rows_idx - cfg.map_rows // 2) * cfg.cell,   # y from row
-    ], axis=-1).astype(np.float32)
-    spawn_xy = np.asarray(spawn_xy_np, np.float32)
+    ], axis=-1).astype(np.float32))
 
     base_params = MUSHR_SUS_CFG   # MuSHR + suspension, 4WD (reference :226)
     action = MUSHR_4WD_ACTION
@@ -193,7 +196,16 @@ def make_visual_task(cfg: VisualTaskCfg) -> TaskModel:
     reward_terms = (
         RewardTerm("traversablility", 5.0, traversable_reward),
         RewardTerm("vel_rew", 7.0, forward_vel),
-    )
+    ) if cfg.rewards_enabled else ()
+
+    def traversable_frac(ctx: StepCtx) -> jax.Array:
+        """Fraction of envs on a traversable cell — the visual task's
+        success metric (is_traversable, mushr_visual_env_cfg.py:303-306)."""
+        return (colormap.sample(ctx.vehicle.pos[..., :2]) > 0.5).astype(
+            jnp.float32)
+
+    def forward_vel_metric(ctx: StepCtx) -> jax.Array:
+        return ctx.body_lin_vel[..., 0]
 
     return TaskModel(
         cfg=env_cfg,
@@ -205,6 +217,9 @@ def make_visual_task(cfg: VisualTaskCfg) -> TaskModel:
         termination_fns=({"out_range": out_of_map}
                          if cfg.terminations_enabled else {}),
         observe=observe,
+        metric_fns={"traversable_frac": traversable_frac,
+                    "forward_vel": forward_vel_metric},
+        render_grid=(np.asarray(trav_np, np.float32), float(cfg.cell)),
     )
 
 
