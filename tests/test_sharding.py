@@ -96,6 +96,32 @@ class TestShardedTraining:
         assert sharded.params["params"]["actor"]["Dense_0"][
             "kernel"].sharding.is_fully_replicated
 
+    @pytest.mark.parametrize("task,overrides", [
+        ("MushrElevationRL-v0", dict(terrain_extent=20.0, num_mounds=10,
+                                     spawn_range=8.0, goal_range=8.0)),
+        ("MushrVisualRL-v0", dict(map_rows=100, map_cols=100, env_rows=20,
+                                  env_cols=20, group_rows=5, group_cols=5)),
+    ])
+    def test_sharded_train_step_other_tasks(self, task, overrides):
+        """Elevation (PatchAtlas row gather + height scan) and visual (3200-D
+        camera obs) train steps compile and run under `data` sharding and
+        match the unsharded step (VERDICT r1 item 6)."""
+        n = 16
+        env = make_env(task, num_envs=n, overrides=overrides)
+        init_fn, train_iter, _ = make_ppo(env, SMALL_PPO)
+        state0 = jax.jit(init_fn)(jax.random.PRNGKey(0))
+        _, m_ref = jax.jit(train_iter)(state0)
+
+        mesh = make_mesh(8)
+        sharded = shard_train_state(state0, mesh, n)
+        with jax.sharding.set_mesh(mesh):
+            _, m = jax.jit(train_iter)(sharded)
+        jax.block_until_ready(m)
+        assert np.isfinite(float(m["loss/total"]))
+        np.testing.assert_allclose(
+            float(m["rollout/reward_mean"]),
+            float(m_ref["rollout/reward_mean"]), rtol=2e-4)
+
     def test_rollout_scales_without_collectives(self):
         """Pure env rollout on the mesh: per-shard independence means the
         compiled HLO contains no cross-device collectives."""
