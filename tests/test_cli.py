@@ -1,0 +1,93 @@
+"""End-to-end CLI surface tests (VERDICT r1 item 9): multirun sweeps, train
+--video, play --video, and train.profile — each drives the real CLI `main()`
+on tiny CPU configs and asserts on the files it leaves behind."""
+
+import os
+
+import numpy as np
+import pytest
+
+TINY = [
+    "num_envs=16", "train.num_iterations=4",
+    "agent.num_steps_per_env=8", "agent.num_learning_epochs=2",
+    "agent.num_mini_batches=2", "train.log.log_every=2",
+    "train.log.checkpoint_every=2",
+]
+
+
+def tiny_args(tmp_path, run_name, *extra):
+    return (["-r", "RSS_DRIFT_CONFIG"] + TINY
+            + [f"train.log.logs_dir={tmp_path}",
+               f"train.log.run_name={run_name}"] + list(extra))
+
+
+class TestTrainCLI:
+    def test_multirun_sweep_writes_two_run_dirs(self, tmp_path):
+        """Hydra-multirun parity (reference docs 'Starting a Run' multirun):
+        a comma-separated override fans out into one run per value."""
+        from wheeledlab_tpu.cli.train import main
+
+        main(tiny_args(tmp_path, "sweep", "-m",
+                       "agent.learning_rate=1e-3,5e-4",
+                       "train.log.no_checkpoints=True"))
+        import json
+        for i, lr in enumerate((1e-3, 5e-4)):
+            run_dir = tmp_path / f"sweep-{i}"
+            assert (run_dir / "metrics.jsonl").exists()
+            saved = json.load(open(run_dir / "run_config.json"))
+            assert abs(saved["run"]["agent"]["learning_rate"] - lr) < 1e-12
+
+    def test_train_video_writes_frames(self, tmp_path):
+        """--video records a top-down training clip every video_interval
+        iterations (reference CustomRecordVideo + LogConfig.video,
+        common_cfg.py:19-29)."""
+        from wheeledlab_tpu.cli.train import main
+
+        main(tiny_args(tmp_path, "vid", "--video",
+                       "train.log.video_interval=2",
+                       "train.log.no_checkpoints=True"))
+        vid_dir = tmp_path / "vid" / "videos"
+        stems = {f.rsplit(".", 1)[0] for f in os.listdir(vid_dir)}
+        assert {"iter_2", "iter_4"} <= stems, stems
+        assert all(f.stat().st_size > 0 for f in vid_dir.iterdir())
+
+    def test_profile_writes_trace(self, tmp_path):
+        """train.profile captures a jax.profiler device trace of iterations
+        10-12 (SURVEY.md §5 tracing/profiling)."""
+        from wheeledlab_tpu.cli.train import main
+
+        main(tiny_args(tmp_path, "prof", "train.profile=True",
+                       "train.num_iterations=14",
+                       "train.log.no_checkpoints=True"))
+        trace_dir = tmp_path / "prof" / "trace"
+        assert trace_dir.exists()
+        # the profiler writes plugins/profile/<ts>/*.trace.json.gz (+ .pb)
+        found = [f for _, _, fs in os.walk(trace_dir) for f in fs]
+        assert found, "trace dir is empty"
+
+
+class TestPlayCLI:
+    def test_play_video_and_rollouts(self, tmp_path):
+        """Train a few iterations, then play: rollout npz (parity:
+        play_policy.py:160-165) + top-down video, rewards stripped in the
+        play variant (reference mushr_drift_env_cfg.py:425-427)."""
+        from wheeledlab_tpu.cli.play import main as play_main
+        from wheeledlab_tpu.cli.train import main as train_main
+
+        train_main(tiny_args(tmp_path, "p1"))
+        play_main(["--run", "p1", "--logs-dir", str(tmp_path),
+                   "--steps", "12", "--num-envs", "4", "--video"])
+        play_dir = tmp_path / "p1" / "play"
+        roll = np.load(play_dir / "p1-rollouts.npz")
+        assert roll["observations"].shape == (12, 4, 14)
+        assert roll["actions"].shape == (12, 4, 2)
+        # play env strips rewards entirely
+        assert float(np.abs(roll["rewards"]).sum()) == 0.0
+        vids = [f for f in play_dir.iterdir()
+                if f.name.startswith("p1.") and f.suffix != ".npz"]
+        assert vids and all(f.stat().st_size > 0 for f in vids)
+
+
+if __name__ == "__main__":
+    import sys
+    sys.exit(pytest.main([__file__, "-x", "-q"]))

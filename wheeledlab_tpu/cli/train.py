@@ -4,9 +4,10 @@
     python -m wheeledlab_tpu.cli.train -r RSS_DRIFT_CONFIG \
         env.num_envs=2048 agent.learning_rate=5e-4 train.num_iterations=1000
 
-Dotted overrides use the same grammar as the reference's Hydra CLI; `--headless`
-and `--video` are accepted for command-line compatibility (rendering is
-always headless here; videos are rendered from trajectories by the play CLI).
+Dotted overrides use the same grammar as the reference's Hydra CLI.
+`--headless` is accepted for command-line compatibility (rendering is always
+headless here); `--video` turns on periodic top-down training videos
+(reference LogConfig.video knobs, common_cfg.py:19-29).
 """
 
 from __future__ import annotations
@@ -29,7 +30,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--headless", action="store_true",
                    help="accepted for reference-CLI compatibility (no-op)")
     p.add_argument("--video", action="store_true",
-                   help="accepted for reference-CLI compatibility (no-op)")
+                   help="record top-down training videos every "
+                        "train.log.video_interval iterations (reference "
+                        "LogConfig.video, common_cfg.py:19-29)")
     return p
 
 
@@ -70,6 +73,9 @@ def main(argv=None):
         if args.max_iterations is not None:
             cfg = cfg.replace(train=cfg.train.replace(
                 num_iterations=args.max_iterations))
+        if args.video:
+            cfg = cfg.replace(train=cfg.train.replace(
+                log=cfg.train.log.replace(video=True)))
         if args.multirun and len(sweeps) > 1:
             name = cfg.train.log.run_name or "sweep"
             cfg = cfg.replace(train=cfg.train.replace(

@@ -179,14 +179,17 @@ def render_task_frames(
 
 
 def save_video(frames: np.ndarray, path: str, fps: int = 50) -> str:
-    """Encode frames; falls back to .npy when no encoder is present."""
+    """Encode (T, H, W, 3) uint8 frames to a video file (parity: the
+    reference's CustomRecordVideo PyAV H.264 encode,
+    custom_video_recorder.py:12-75). Encoder preference: PyAV H.264 ->
+    OpenCV MPEG-4 (.mp4) -> raw .npy dump as the last resort."""
     try:
         import av  # noqa: F401
 
         container = av.open(path, "w")
-        stream = container.add_stream("mjpeg", rate=fps)
+        stream = container.add_stream("h264", rate=fps)
         stream.height, stream.width = frames.shape[1:3]
-        stream.pix_fmt = "yuvj420p"
+        stream.pix_fmt = "yuv420p"
         for f in frames:
             for packet in stream.encode(
                     av.VideoFrame.from_ndarray(f, format="rgb24")):
@@ -196,6 +199,22 @@ def save_video(frames: np.ndarray, path: str, fps: int = 50) -> str:
         container.close()
         return path
     except ImportError:
-        alt = path.rsplit(".", 1)[0] + ".npy"
-        np.save(alt, frames)
-        return alt
+        pass
+    try:
+        import cv2
+
+        alt = path.rsplit(".", 1)[0] + ".mp4"
+        h, w = frames.shape[1:3]
+        writer = cv2.VideoWriter(
+            alt, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+        if writer.isOpened():
+            for f in frames:
+                writer.write(f[:, :, ::-1])  # RGB -> BGR
+            writer.release()
+            return alt
+        writer.release()
+    except ImportError:
+        pass
+    alt = path.rsplit(".", 1)[0] + ".npy"
+    np.save(alt, frames)
+    return alt
