@@ -58,12 +58,14 @@ def main(argv=None):
     state, metrics = train(cfg)
     wall = time.time() - t0
 
+    import os
+
     import jax
 
     iterations = int(jax.device_get(state.iteration))
     env_steps = iterations * cfg.agent.num_steps_per_env * cfg.num_envs
     final_return = metrics.get("episode/return", float("nan"))
-    print(json.dumps({
+    result = {
         "metric": f"{args.config.lower()}_train_to_return_s",
         "value": round(wall, 1),
         "unit": "s",
@@ -73,7 +75,30 @@ def main(argv=None):
         "iterations": iterations,
         "env_steps": env_steps,
         "vs_baseline": round(7200.0 / max(wall, 1e-9), 2),  # ref: ~2 h (README.md:68)
-    }))
+    }
+    # compile / steady-state split: XLA compilation of the fused iteration is
+    # a one-time cost with high variance on remote-tunnel backends (measured
+    # 38-276 s for the same program), so record the post-compile training
+    # rate separately from the end-to-end wall clock
+    run_dir = os.path.join(args.logs_dir, args.run_name)
+    mpath = os.path.join(run_dir, "metrics.jsonl")
+    if os.path.exists(mpath):
+        rows = [json.loads(line) for line in open(mpath)]
+        if len(rows) >= 2:
+            d_it = rows[-1]["iteration"] - rows[0]["iteration"]
+            d_wall = rows[-1]["perf/wall_s"] - rows[0]["perf/wall_s"]
+            steps_per_iter = cfg.agent.num_steps_per_env * cfg.num_envs
+            if d_it > 0 and d_wall > 0:
+                result["steady_ms_per_iteration"] = round(d_wall / d_it * 1e3, 2)
+                result["steady_env_steps_per_s"] = round(
+                    steps_per_iter * d_it / d_wall, 0)
+                result["train_s"] = round(
+                    rows[-1]["iteration"] * d_wall / d_it, 1)
+                result["compile_s"] = round(wall - result["train_s"], 1)
+    print(json.dumps(result))
+    if os.path.isdir(run_dir):
+        with open(os.path.join(run_dir, "result.json"), "w") as f:
+            json.dump(result, f)
 
 
 if __name__ == "__main__":

@@ -31,7 +31,7 @@ from flax import linen as nn
 from flax import struct
 
 from ..envs.env import EnvState, WheeledEnv
-from .ppo import aggregate_info_metrics
+from .ppo import accumulate_info, finalize_info_acc, init_info_acc
 from .networks import (
     MLP, gaussian_entropy, gaussian_kl, gaussian_log_prob,
 )
@@ -188,7 +188,7 @@ def make_ppo_recurrent(env: WheeledEnv, cfg, _internals: dict | None = None):
         h0 = state.hidden
 
         def step(carry, key):
-            env_state, obs, hidden, reset_prev = carry
+            env_state, obs, hidden, reset_prev, acc = carry
             hidden, mean, std, value = step_apply(
                 state.params, hidden, obs, reset_prev)
             action = mean + std * jax.random.normal(key, mean.shape)
@@ -199,14 +199,17 @@ def make_ppo_recurrent(env: WheeledEnv, cfg, _internals: dict | None = None):
                 obs=obs, reset=reset_prev, action=action, log_prob=log_prob,
                 value=value, reward=reward, done=out.done.astype(jnp.float32),
                 mean=mean, std=std)
-            carry = (env_state, out.obs, hidden, out.done.astype(jnp.float32))
-            return carry, (tr, dict(out.info))
+            acc = accumulate_info(acc, out.info, out.done)
+            carry = (env_state, out.obs, hidden,
+                     out.done.astype(jnp.float32), acc)
+            return carry, tr
 
         keys = jax.random.split(state.key, cfg.num_steps_per_env + 1)
-        (env_state, obs, hidden, reset_prev), (traj, infos) = jax.lax.scan(
+        acc0 = init_info_acc(env, state.env_state)
+        (env_state, obs, hidden, reset_prev, acc), traj = jax.lax.scan(
             step, (state.env_state, state.obs, state.hidden,
-                   state.reset_prev), keys[1:])
-        return env_state, obs, hidden, reset_prev, h0, traj, infos, keys[0]
+                   state.reset_prev, acc0), keys[1:])
+        return env_state, obs, hidden, reset_prev, h0, traj, acc, keys[0]
 
     # ----------------------------------------------------------------- GAE
 
@@ -292,7 +295,7 @@ def make_ppo_recurrent(env: WheeledEnv, cfg, _internals: dict | None = None):
     # ------------------------------------------------------ full iteration
 
     def train_iteration(state: RecurrentTrainState):
-        (env_state, obs, hidden, reset_prev, h0, traj, infos,
+        (env_state, obs, hidden, reset_prev, h0, traj, acc,
          key) = rollout(state)
         _, _, last_value, _ = policy_apply(
             state.params, obs, hidden, reset_prev)
@@ -303,8 +306,7 @@ def make_ppo_recurrent(env: WheeledEnv, cfg, _internals: dict | None = None):
             k_update, state.params, state.opt_state, h0, traj, returns,
             norm_adv)
 
-        done_mask = traj.done > 0.5
-        n_done = jnp.maximum(done_mask.sum(), 1.0)
+        n_done = jnp.maximum(traj.done.sum(), 1.0)
         metrics = {
             "loss/total": loss_metrics[0],
             "loss/surrogate": loss_metrics[1],
@@ -312,15 +314,13 @@ def make_ppo_recurrent(env: WheeledEnv, cfg, _internals: dict | None = None):
             "loss/entropy": loss_metrics[3],
             "loss/kl": loss_metrics[4],
             "lr": opt_state[1].hyperparams["learning_rate"],
-            "episode/return": (infos["episode_return"] * done_mask).sum() / n_done,
-            "episode/length": (infos["episode_length"] * done_mask).sum() / n_done,
-            "episode/num_dones": done_mask.sum(),
+            "episode/num_dones": traj.done.sum(),
             "rollout/reward_mean": traj.reward.mean(),
             "nan/detected": 1.0 - (jnp.isfinite(traj.action).all()
                                    & jnp.isfinite(loss_metrics).all()
                                    ).astype(jnp.float32),
         }
-        metrics.update(aggregate_info_metrics(infos, done_mask, n_done))
+        metrics.update(finalize_info_acc(acc, cfg.num_steps_per_env, n_done))
 
         new_state = RecurrentTrainState(
             params=params, opt_state=opt_state, env_state=env_state, obs=obs,

@@ -10,17 +10,21 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ...envs.env import StepCtx
 from ...utils import math as wmath
 
 BLIND_OBS_DIM = 14
-_NOISE_STD = jnp.concatenate([
-    jnp.full((3,), 0.1),   # root_pos_w       (Gnoise std 0.1)
-    jnp.full((3,), 0.1),   # root_euler_xyz   (Gnoise std 0.1)
-    jnp.full((3,), 0.5),   # base_lin_vel     (Gnoise std 0.5)
-    jnp.full((3,), 0.4),   # base_ang_vel     (Gnoise std 0.4)
-    jnp.zeros((2,)),       # last_action      (clipped, no noise)
+# numpy on purpose: a module-level jnp constant is an eager device op at
+# import time (a network round trip on remote backends); as numpy it embeds
+# as a trace-time literal (utils/host.py rationale)
+_NOISE_STD = np.concatenate([
+    np.full((3,), 0.1, np.float32),   # root_pos_w       (Gnoise std 0.1)
+    np.full((3,), 0.1, np.float32),   # root_euler_xyz   (Gnoise std 0.1)
+    np.full((3,), 0.5, np.float32),   # base_lin_vel     (Gnoise std 0.5)
+    np.full((3,), 0.4, np.float32),   # base_ang_vel     (Gnoise std 0.4)
+    np.zeros((2,), np.float32),       # last_action      (clipped, no noise)
 ])
 
 

@@ -25,6 +25,7 @@ from ...assets import (
 )
 from ...sim.types import VehicleState, batch_params, with_mass
 from ...utils import math as wmath
+from ...utils.host import host_build_fn
 from ...utils.config import configclass
 from ..common.observations import BLIND_OBS_DIM, blind_obs
 
@@ -245,6 +246,7 @@ def ground_speed(ctx: StepCtx) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
+@host_build_fn  # builder eager math on local CPU (utils/host.py)
 def make_drift_task(cfg: DriftTaskCfg) -> TaskModel:
     n = cfg.num_envs
     base_key = jax.random.PRNGKey(cfg.seed)

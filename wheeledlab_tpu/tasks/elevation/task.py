@@ -22,6 +22,7 @@ from ...sim.actions import ActionMapCfg
 from ...assets import MUSHR_4WD_ACTION, MUSHR_SUS_CFG
 from ...sim.types import VehicleState, batch_params, with_mass
 from ...utils import math as wmath
+from ...utils.host import host_build_fn
 from ...utils.config import configclass
 from .terrain_gen import generate_elevation_terrain
 
@@ -197,6 +198,7 @@ def _concat_obs(ctx, goal_rel, euler, rel_scan):
 # ---------------------------------------------------------------------------
 
 
+@host_build_fn  # builder eager math on local CPU (utils/host.py)
 def make_elevation_task(cfg: ElevationTaskCfg) -> TaskModel:
     n = cfg.num_envs
     base_key = jax.random.PRNGKey(cfg.seed)

@@ -157,15 +157,20 @@ def render_fast(atlas: ColorMapAtlas, pos: jax.Array, quat: jax.Array,
 
 def _pixel_rays():
     """Unit ray directions in camera frame (x forward, y left, z up),
-    shape (HEIGHT, WIDTH, 3). Pixel (0,0) is top-left."""
-    us = (jnp.arange(WIDTH, dtype=jnp.float32) + 0.5) / WIDTH - 0.5
-    vs = (jnp.arange(HEIGHT, dtype=jnp.float32) + 0.5) / HEIGHT - 0.5
+    shape (HEIGHT, WIDTH, 3). Pixel (0,0) is top-left. Computed in f32 numpy
+    so module import stays off-device (utils/host.py rationale); the array
+    embeds as a trace-time literal in the jitted renderers."""
+    us = ((np.arange(WIDTH, dtype=np.float32) + 0.5) / WIDTH - 0.5).astype(
+        np.float32)
+    vs = ((np.arange(HEIGHT, dtype=np.float32) + 0.5) / HEIGHT - 0.5).astype(
+        np.float32)
     # camera-frame: forward x = focal dir; left y = -u * aperture; up z = -v
-    y = -(us * APERTURE_H)[None, :].repeat(HEIGHT, 0)
-    z = -(vs * APERTURE_V)[:, None].repeat(WIDTH, 1)
-    x = jnp.full((HEIGHT, WIDTH), FOCAL)
-    d = jnp.stack([x, y, z], axis=-1)
-    return d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    y = -(us * np.float32(APERTURE_H))[None, :].repeat(HEIGHT, 0)
+    z = -(vs * np.float32(APERTURE_V))[:, None].repeat(WIDTH, 1)
+    x = np.full((HEIGHT, WIDTH), FOCAL, np.float32)
+    d = np.stack([x, y, z], axis=-1)
+    norm = np.sqrt((d * d).sum(-1, keepdims=True, dtype=np.float32))
+    return (d / norm).astype(np.float32)
 
 
 _RAYS = _pixel_rays()

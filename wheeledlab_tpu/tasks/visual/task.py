@@ -20,6 +20,7 @@ from ...sim.terrain import Heightfield
 from ...assets import MUSHR_4WD_ACTION, MUSHR_SUS_CFG
 from ...sim.types import VehicleState, batch_params, with_mass
 from ...utils import math as wmath
+from ...utils.host import host_build_fn
 from ...utils.config import configclass
 from .augment import augment_images
 from .camera import HEIGHT, WIDTH, ColorMap, ColorMapAtlas, render, render_fast
@@ -96,6 +97,7 @@ def make_terms(colormap: ColorMap):
 # ---------------------------------------------------------------------------
 
 
+@host_build_fn  # builder eager math on local CPU (utils/host.py)
 def make_visual_task(cfg: VisualTaskCfg) -> TaskModel:
     n = cfg.num_envs
 

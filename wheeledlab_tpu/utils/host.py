@@ -16,8 +16,44 @@ Rule of thumb enforced here: **builders return numpy; jit traces convert.**
 
 from __future__ import annotations
 
+import contextlib
+
 import jax
 import numpy as np
+
+
+@contextlib.contextmanager
+def host_build():
+    """Pin build-time eager array math to the local CPU backend.
+
+    Task builders run a few dozen small eager jnp/jax.random ops (track
+    poses, terrain mounds, DR tables). On a remote-tunnel accelerator
+    backend each eager op is a network round trip + tiny-program compile —
+    measured up to ~300 s for one `make_env` on a congested link, vs
+    milliseconds on the local CPU. Values are platform-invariant for the
+    default threefry PRNG, and every builder output goes through
+    `host_const` anyway, so where the math ran leaves no trace in the
+    compiled step functions.
+    """
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:          # no CPU backend registered: run as-is
+        yield
+        return
+    with jax.default_device(cpu):
+        yield
+
+
+def host_build_fn(fn):
+    """Decorator form of `host_build` for task-builder functions."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with host_build():
+            return fn(*args, **kwargs)
+
+    return wrapped
 
 
 def host_const(tree):
