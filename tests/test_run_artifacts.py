@@ -83,11 +83,11 @@ class TestElevationArtifact:
         height = series(rows, "metrics/ground_height")
         at_goal = series(rows, "done/at_goal")
         assert len(ret) >= 100
-        # measured: return 66.6k -> 90.5k (+36%)
+        # measured runs: return 66.6k -> 90.5k, 62.9k -> 81.8k (~+30%)
         assert ret[-10:].mean() > 1.2 * ret[:3].mean(), \
             (ret[:3].mean(), ret[-10:].mean())
-        # measured: ground height under robot 0.47 -> 0.70 m (climbs mounds)
-        assert height[-10:].mean() > 1.3 * height[:3].mean()
+        # measured: ground height under robot 0.47 -> 0.62-0.70 m (climbs)
+        assert height[-10:].mean() > 1.25 * height[:3].mean()
         assert height[-10:].mean() > 0.6, height[-10:].mean()
         # goals do get reached (terminations fire), just not maximized
         assert at_goal.mean() > 0.005, at_goal.mean()
