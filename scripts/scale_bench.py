@@ -13,9 +13,14 @@ BASELINE.json linear-scaling metric.
 
 import argparse
 import json
+import os
+import sys
 import time
 
 import jax
+
+# runnable as `python scripts/scale_bench.py` without installing the package
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

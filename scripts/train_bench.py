@@ -21,8 +21,13 @@ The run directory (metrics.jsonl + run_config.json + checkpoints) lands under
 
 import argparse
 import json
+import os
 import sys
 import time
+
+# runnable as `python scripts/train_bench.py` without installing the package:
+# the interpreter puts scripts/ on sys.path, not the repo root
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(argv=None):
