@@ -6,6 +6,20 @@ Baseline: the reference's implied single-GPU throughput is ~90k env-steps/s
 (655M env-steps in "a couple hours", BASELINE.md). vs_baseline is the speedup
 over that number.
 
+Measurement methodology (dispatch-proof):
+  * the repeat count auto-scales until the timed window is >= MIN_WALL
+    seconds, so per-dispatch round trips (milliseconds, and link-dependent on
+    a remote-tunnel backend) are amortized to noise;
+  * the window is anchored by `jax.device_get` of a scalar that data-depends
+    on EVERY iteration (env state chains through all rollouts), so the clock
+    cannot stop before the device has actually produced the result — timing
+    async dispatch instead of execution is impossible by construction;
+  * the measurement runs twice and the SLOWER run is reported (conservative);
+  * a roofline sanity check computes the HBM bandwidth implied by the
+    reported rate from the packed state/param layouts (sim/soa.py) and fails
+    the bench outright if it exceeds the chip's peak — a number that violates
+    physics must never be published.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 `bench.py --train [...]` instead runs the train-to-return benchmark
@@ -14,11 +28,70 @@ the BASELINE.json "<10 min" north star), forwarding remaining args.
 """
 
 import json
+import math
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
+
+MIN_WALL = 2.0      # seconds the timed window must span
+MAX_ITERS = 8192    # safety cap on the repeat count
+
+# Peak HBM bandwidth per chip, bytes/s (public spec sheets). Used only for
+# the roofline sanity check; unknown kinds skip the check.
+PEAK_HBM_BYTES_PER_S = {
+    "TPU v4": 1.2e12,
+    "TPU v5 lite": 819e9,      # v5e
+    "TPU v5": 2.77e12,         # v5p
+    "TPU v6 lite": 1.6e12,     # v6e / Trillium
+}
+
+
+def _peak_hbm() -> float | None:
+    kind = jax.devices()[0].device_kind
+    for name, bw in PEAK_HBM_BYTES_PER_S.items():
+        if kind.startswith(name):
+            return bw
+    return None
+
+
+def measure(rollout, state, key, steps_per_iter: int):
+    """Auto-scaling anchored timing; returns (steps_per_s, wall_s, iters)."""
+    iters = 1
+    while True:
+        t0 = time.perf_counter()
+        s = state
+        for i in range(iters):
+            s, r = rollout(s, jax.random.fold_in(key, i))
+        anchor = float(jax.device_get(r))  # forces real execution to finish
+        assert math.isfinite(anchor), "benchmark rollout produced non-finite reward"
+        wall = time.perf_counter() - t0
+        if wall >= MIN_WALL or iters >= MAX_ITERS:
+            return steps_per_iter * iters / wall, wall, iters
+        grow = max(2.0, MIN_WALL * 1.25 / max(wall, 1e-9))
+        iters = min(MAX_ITERS, int(math.ceil(iters * grow)))
+
+
+def roofline_check(env_steps_per_s: float, num_envs: int):
+    """Fail if the measured rate implies HBM traffic beyond the chip's peak.
+
+    Per control step the fused step must at minimum stream the packed
+    vehicle state (read + write) and the packed per-env params (read) —
+    the layouts in sim/soa.py (NUM_STATE=21, NUM_PARAM=45 f32 rows)."""
+    from wheeledlab_tpu.sim.soa import NUM_PARAM, NUM_STATE
+
+    bytes_per_env_step = 4 * (2 * NUM_STATE + NUM_PARAM)
+    implied = env_steps_per_s * bytes_per_env_step
+    peak = _peak_hbm()
+    if peak is not None and implied > 1.1 * peak:
+        raise SystemExit(
+            f"ROOFLINE VIOLATION: measured {env_steps_per_s:,.0f} env-steps/s "
+            f"implies {implied / 1e9:,.0f} GB/s of HBM traffic "
+            f"({bytes_per_env_step} B/env-step) but "
+            f"{jax.devices()[0].device_kind} peaks at {peak / 1e9:,.0f} GB/s — "
+            "the measurement is timing dispatch, not execution.")
+    return implied, peak
 
 
 def main():
@@ -46,18 +119,22 @@ def main():
         state, rews = jax.lax.scan(body, state, keys)
         return state, rews.sum()
 
-    # warmup/compile
+    # warmup/compile (anchored, so compile time never leaks into the window)
     state, r = rollout(state, jax.random.PRNGKey(1))
-    jax.block_until_ready(r)
+    float(jax.device_get(r))
 
-    iters = 5
-    t0 = time.time()
-    for i in range(iters):
-        state, r = rollout(state, jax.random.PRNGKey(2 + i))
-    jax.block_until_ready(r)
-    dt = time.time() - t0
+    runs = [measure(rollout, state, jax.random.PRNGKey(2 + i),
+                    num_envs * rollout_len) for i in range(2)]
+    steps_per_s, wall, iters = min(runs)  # conservative: slower run
+    spread = abs(runs[0][0] - runs[1][0]) / max(r[0] for r in runs)
+    print(f"# runs: {[f'{r[0]:,.0f} steps/s over {r[1]:.2f}s ({r[2]} iters)' for r in runs]}"
+          f" spread={spread:.1%}", file=sys.stderr)
 
-    steps_per_s = num_envs * rollout_len * iters / dt
+    implied_bw, peak_bw = roofline_check(steps_per_s, num_envs)
+    print(f"# roofline: implied HBM {implied_bw / 1e9:.1f} GB/s"
+          + (f" of {peak_bw / 1e9:.0f} GB/s peak" if peak_bw else ""),
+          file=sys.stderr)
+
     baseline = 90_000.0  # reference implied steps/s on one GPU (BASELINE.md)
     print(json.dumps({
         "metric": "drift_env_steps_per_s_per_chip",

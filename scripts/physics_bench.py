@@ -8,15 +8,18 @@ Benches three layers of the drift stack at 16k envs (the bench.py scale):
   env_step_xla      full fused env step, use_pallas="off"
   env_step_pallas   full fused env step, use_pallas="on" (TPU only)
 
-Prints one JSON line per row: {"metric", "value", "unit"}. Wall numbers
-include the per-call dispatch round trip, so on a remote-tunnel backend the
-absolute values move with link conditions — compare rows within one run.
+Prints one JSON line per row: {"metric", "value", "unit"}. Uses the same
+dispatch-proof methodology as bench.py: auto-scaled repeat count until the
+timed window is >= 1 s, anchored by `jax.device_get` of a scalar that
+data-depends on every iteration — per-dispatch round trips are amortized and
+the clock cannot stop before execution finishes.
 
     python scripts/physics_bench.py [--num-envs 16384] [--rollout 128]
 """
 
 import argparse
 import json
+import math
 import os
 import sys
 import time
@@ -27,22 +30,34 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
+MIN_WALL = 1.0
+MAX_ITERS = 8192
 
-def bench(fn, state, key, iters=5):
+
+def bench(fn, state, key, min_wall=MIN_WALL):
+    """Anchored auto-scaling timer; returns wall seconds PER ITERATION."""
     state2, r = fn(state, jax.random.PRNGKey(1))   # compile + warmup
-    jax.block_until_ready(r)
-    t0 = time.time()
-    for i in range(iters):
-        state2, r = fn(state2, jax.random.fold_in(key, i))
-    jax.block_until_ready(r)
-    return time.time() - t0
+    float(jax.device_get(r))
+    iters = 1
+    while True:
+        t0 = time.perf_counter()
+        s = state
+        for i in range(iters):
+            s, r = fn(s, jax.random.fold_in(key, i))
+        float(jax.device_get(r))  # forces real execution to finish
+        wall = time.perf_counter() - t0
+        if wall >= min_wall or iters >= MAX_ITERS:
+            return wall / iters
+        grow = max(2.0, min_wall * 1.25 / max(wall, 1e-9))
+        iters = min(MAX_ITERS, int(math.ceil(iters * grow)))
 
 
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--num-envs", type=int, default=16384)
     p.add_argument("--rollout", type=int, default=128)
-    p.add_argument("--iters", type=int, default=5)
+    p.add_argument("--min-wall", type=float, default=MIN_WALL,
+                   help="minimum timed-window seconds per measurement")
     args = p.parse_args()
 
     from wheeledlab_tpu.sim import dynamics
@@ -52,7 +67,7 @@ def main():
 
     enable_fast_prng()
     n, T = args.num_envs, args.rollout
-    steps = n * T * args.iters
+    steps = n * T  # per timed iteration
     on_tpu = jax.devices()[0].platform != "cpu"
 
     results = {}
@@ -81,7 +96,30 @@ def main():
 
     results["raw_physics_xla"] = steps / bench(physics_rollout, veh,
                                                jax.random.PRNGKey(2),
-                                               args.iters)
+                                               args.min_wall)
+
+    # --- SoA physics: packed-row substep loop, XLA path (sim/soa.py) ------
+    from wheeledlab_tpu.sim.soa import pack_params, pack_state, substep_soa
+
+    packed0 = pack_state(veh)
+    pp = pack_params(params, terrain.friction)
+
+    @jax.jit
+    def soa_rollout(m, key):
+        steer = jnp.zeros((2, n))
+        wheel = jnp.full((4, n), 20.0)
+
+        def body(s, _):
+            for _ in range(dec):
+                s = substep_soa(s, pp, steer, wheel, dt)
+            return s, s[7].sum()   # LINVEL x-row: forces execution
+
+        m, fs = jax.lax.scan(body, m, None, length=T)
+        return m, fs.sum()
+
+    results["physics_soa_xla"] = steps / bench(soa_rollout, packed0,
+                                               jax.random.PRNGKey(4),
+                                               args.min_wall)
 
     # --- full env step, both backends -------------------------------------
     def env_rollout(e):
@@ -99,14 +137,20 @@ def main():
 
         return roll
 
-    for mode in (("off",) if not on_tpu else ("off", "on")):
+    # pallas mode mirrors the env's auto guard (envs/env.py): TPU only and
+    # num_envs must be lane-aligned (% 128 == 0)
+    pallas_ok = on_tpu and n % 128 == 0
+    if on_tpu and not pallas_ok:
+        print(f"# skipping env_step_pallas: num_envs={n} not a multiple "
+              "of 128 (lane alignment)", file=sys.stderr)
+    for mode in (("off", "on") if pallas_ok else ("off",)):
         cfg = DriftTaskCfg(num_envs=n)
         e = make_drift_env(cfg)
         e._use_pallas = (mode == "on")
         s0, _ = jax.jit(e.reset)(jax.random.PRNGKey(0))
         key = f"env_step_{'pallas' if mode == 'on' else 'xla'}"
         results[key] = steps / bench(env_rollout(e), s0,
-                                     jax.random.PRNGKey(3), args.iters)
+                                     jax.random.PRNGKey(3), args.min_wall)
 
     for k, v in results.items():
         print(json.dumps({"metric": k, "value": round(v, 1),

@@ -34,7 +34,9 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="RSS_DRIFT_CONFIG")
     p.add_argument("--target-return", type=float, default=800.0)
-    p.add_argument("--max-iterations", type=int, default=2000)
+    p.add_argument("--max-iterations", type=int, default=None,
+                   help="iteration budget; defaults to the named config's "
+                        "train.num_iterations (the committed-artifact budget)")
     p.add_argument("--num-envs", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--logs-dir", default="logs")
@@ -50,7 +52,7 @@ def main(argv=None):
     cfg = RUN_CONFIGS.get(args.config)
     cfg = cfg.replace(train=cfg.train.replace(
         seed=args.seed,
-        num_iterations=args.max_iterations,
+        num_iterations=args.max_iterations or cfg.train.num_iterations,
         target_return=args.target_return,
         log=cfg.train.log.replace(
             logs_dir=args.logs_dir, run_name=args.run_name,

@@ -1,0 +1,68 @@
+"""Worker process for tests/test_distributed.py.
+
+Runs one PPO train iteration on the drift task with the TrainState sharded
+over the GLOBAL device mesh — in a real `jax.distributed` job when launched
+with nproc > 1 (127.0.0.1 coordinator, 4 virtual CPU devices per process,
+8-device global mesh), or single-process with 8 local devices when
+nproc == 1 (the comparison anchor).
+
+Prints `RESULT {json}` with the scalar training metrics; the parent test
+asserts both processes agree and match the single-process run.
+
+Usage: python _distributed_worker.py <port> <nproc> <pid>
+"""
+
+import json
+import os
+import sys
+
+
+def main():
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    port, nproc, pid = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+
+    from wheeledlab_tpu.parallel import distributed
+    from wheeledlab_tpu.parallel.mesh import shard_train_state
+
+    if nproc > 1:
+        # STRICT path: explicit coordinator — raises on rendezvous failure
+        distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                               num_processes=nproc, process_id=pid)
+    assert jax.process_count() == nproc, jax.process_count()
+    assert jax.device_count() == 8, jax.device_count()
+    assert distributed.is_main_process() == (pid == 0)
+
+    num_envs = 64
+    per = num_envs // nproc
+    sl = distributed.local_batch_slice(num_envs)
+    assert sl == slice(pid * per, (pid + 1) * per), sl
+
+    from wheeledlab_tpu.rl.ppo import PPOCfg, make_learner
+    from wheeledlab_tpu.tasks import make_env
+
+    env = make_env("MushrDriftRL-v0", num_envs=num_envs)
+    cfg = PPOCfg(num_steps_per_env=8, num_learning_epochs=2,
+                 num_mini_batches=2)
+    init_fn, train_iteration, _ = make_learner(env, cfg)
+
+    mesh = distributed.global_mesh()
+    # every process computes the identical full state (same seed), then
+    # re-shards it onto the global mesh
+    state = jax.jit(init_fn)(jax.random.PRNGKey(0))
+    state = shard_train_state(state, mesh, num_envs)
+
+    iter_jit = jax.jit(train_iteration, donate_argnums=(0,))
+    state, metrics = iter_jit(state)
+    state, metrics = iter_jit(state)
+
+    out = {k: float(jax.device_get(v)) for k, v in metrics.items()
+           if getattr(v, "ndim", None) == 0}
+    assert out, "no scalar metrics returned"
+    print("RESULT " + json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -37,6 +37,34 @@ class TestTrainCLI:
             saved = json.load(open(run_dir / "run_config.json"))
             assert abs(saved["run"]["agent"]["learning_rate"] - lr) < 1e-12
 
+    def test_env_override_reaches_built_env(self, tmp_path):
+        """`env.*` dotted overrides (reference utils/hydra.py:103-167 grammar,
+        e.g. `env.rewards.side_slip.weight=100.0`) must route into the task
+        cfg that the env is actually built from, and be recorded in
+        run_config.json for playback."""
+        import json
+
+        from wheeledlab_tpu.cli.train import main
+        from wheeledlab_tpu.tasks import make_env
+
+        main(tiny_args(tmp_path, "envovr", "env.track_radius=1.25",
+                       "train.log.no_checkpoints=True"))
+        saved = json.load(open(tmp_path / "envovr" / "run_config.json"))
+        ovr = saved["run"]["env_overrides"]
+        assert float(ovr["track_radius"]) == 1.25
+        # the same override path make_env applies (what train() calls):
+        env = make_env("MushrDriftRL-v0", num_envs=16, overrides=ovr)
+        assert env.task_cfg.track_radius == 1.25
+
+    def test_env_override_unknown_path_fails_loudly(self, tmp_path):
+        """An override naming a nonexistent env cfg field must raise, not be
+        silently dropped (reference Hydra errors on unknown keys)."""
+        from wheeledlab_tpu.cli.train import main
+
+        with pytest.raises(KeyError, match="no_such_field"):
+            main(tiny_args(tmp_path, "envbad", "env.no_such_field=1",
+                           "train.log.no_checkpoints=True"))
+
     def test_train_video_writes_frames(self, tmp_path):
         """--video records a top-down training clip every video_interval
         iterations (reference CustomRecordVideo + LogConfig.video,
@@ -50,6 +78,33 @@ class TestTrainCLI:
         stems = {f.rsplit(".", 1)[0] for f in os.listdir(vid_dir)}
         assert {"iter_2", "iter_4"} <= stems, stems
         assert all(f.stat().st_size > 0 for f in vid_dir.iterdir())
+
+    def test_video_length_and_resolution_knobs(self, tmp_path):
+        """video_length / video_resolution / video_crf parity (reference
+        LogConfig, common_cfg.py:19-29; CustomRecordVideo
+        custom_video_recorder.py:24-43): the clip is capped to video_length
+        steps and resized to video_resolution (W, H)."""
+        import cv2
+
+        from wheeledlab_tpu.cli.train import main
+
+        main(tiny_args(tmp_path, "vidknobs", "--video",
+                       "train.log.video_interval=2",
+                       "train.num_iterations=2",
+                       "train.log.video_length=3",
+                       "train.log.video_resolution=(64,48)",
+                       "train.log.no_checkpoints=True"))
+        vid_dir = tmp_path / "vidknobs" / "videos"
+        (vid,) = list(vid_dir.iterdir())
+        if vid.suffix == ".npy":
+            frames = np.load(vid)
+            assert frames.shape == (3, 48, 64, 3)
+        else:
+            cap = cv2.VideoCapture(str(vid))
+            assert int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)) == 64
+            assert int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT)) == 48
+            assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 3
+            cap.release()
 
     def test_profile_writes_trace(self, tmp_path):
         """train.profile captures a jax.profiler device trace of iterations

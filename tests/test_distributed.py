@@ -1,0 +1,88 @@
+"""True multi-process distributed execution (VERDICT r2 item 3; SURVEY.md §5
+distributed backend; BASELINE.json multi-host scaling target).
+
+Launches TWO real `jax.distributed` processes (127.0.0.1 coordinator, 4
+virtual CPU devices each), builds the 8-device GLOBAL mesh, runs sharded PPO
+train iterations on the drift task in both processes, and asserts the scalar
+metrics are finite, identical across the two processes, and match a
+single-process 8-device run of the same program — the seam (coordinator
+rendezvous, per-process batch math, cross-process device_put) where
+multi-host jobs actually break."""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+WORKER = os.path.join(os.path.dirname(__file__), "_distributed_worker.py")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _worker_env(local_devices: int):
+    env = dict(os.environ)
+    # the axon sitecustomize force-registers the TPU backend at interpreter
+    # start; scrub it so the worker gets plain CPU devices
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={local_devices}"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    return env
+
+
+def _run_workers(port: int, nproc: int, local_devices: int):
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, str(port), str(nproc), str(pid)],
+            env=_worker_env(local_devices),
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for pid in range(nproc)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out}"
+    results = []
+    for out in outs:
+        lines = [l for l in out.splitlines() if l.startswith("RESULT ")]
+        assert lines, f"no RESULT line in worker output:\n{out}"
+        results.append(json.loads(lines[-1][len("RESULT "):]))
+    return results
+
+
+@pytest.mark.slow
+def test_two_process_sharded_train_step_matches_single_process():
+    port = _free_port()
+    two = _run_workers(port, nproc=2, local_devices=4)
+    single = _run_workers(_free_port(), nproc=1, local_devices=8)[0]
+
+    assert two[0].keys() == two[1].keys() == single.keys()
+    for k in single:
+        a, b, c = two[0][k], two[1][k], single[k]
+        assert np.isfinite([a, b, c]).all(), (k, a, b, c)
+        # both processes observe the same replicated metric value
+        assert a == b, (k, a, b)
+        # and the 2-process global computation matches single-process
+        # (same global mesh of 8 devices, same seed; tolerance for
+        # reduction-order differences across partitions)
+        np.testing.assert_allclose(a, c, rtol=2e-3, atol=1e-5, err_msg=k)
+
+
+if __name__ == "__main__":
+    sys.exit(pytest.main([__file__, "-x", "-q"]))

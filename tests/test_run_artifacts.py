@@ -81,7 +81,6 @@ class TestElevationArtifact:
         rows, _ = load_run("rss_elev_tpu")
         ret = series(rows, "episode/return")
         height = series(rows, "metrics/ground_height")
-        at_goal = series(rows, "done/at_goal")
         assert len(ret) >= 100
         # measured runs: return 66.6k -> 90.5k, 62.9k -> 81.8k (~+30%)
         assert ret[-10:].mean() > 1.2 * ret[:3].mean(), \
@@ -89,8 +88,26 @@ class TestElevationArtifact:
         # measured: ground height under robot 0.47 -> 0.62-0.70 m (climbs)
         assert height[-10:].mean() > 1.25 * height[:3].mean()
         assert height[-10:].mean() > 0.6, height[-10:].mean()
-        # goals do get reached (terminations fire), just not maximized
-        assert at_goal.mean() > 0.005, at_goal.mean()
+
+    def test_elevation_goal_seeking(self):
+        """Goal-seeking trend bar (VERDICT r2 item 5). The MDP analysis in
+        the class docstring still holds — climbing dominates — but the
+        goal channels must show actual goal-directed behavior, not noise:
+        goal distance trends DOWN, the goal-velocity reward (the channel
+        the policy is actually paid through, weight 200-225) rises
+        materially, and the per-step goal-reach termination rate sits in
+        the measured trained band (1.3-1.6% of env-steps; an untrained
+        policy wanders at ~1.1% and a degenerate one at ~0)."""
+        rows, _ = load_run("rss_elev_tpu")
+        goal_dist = series(rows, "metrics/goal_dist")
+        at_goal = series(rows, "done/at_goal")
+        vel_goal = series(rows, "rew/vel_towards_goal")
+        assert goal_dist[-10:].mean() < goal_dist[:3].mean(), \
+            (goal_dist[:3].mean(), goal_dist[-10:].mean())
+        # measured: 100.3 -> 115.5 (+15%) over the run
+        assert vel_goal[-10:].mean() > 1.1 * vel_goal[:3].mean(), \
+            (vel_goal[:3].mean(), vel_goal[-10:].mean())
+        assert at_goal[-10:].mean() > 0.010, at_goal[-10:].mean()
 
 
 class TestVisualArtifact:

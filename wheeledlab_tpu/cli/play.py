@@ -46,15 +46,20 @@ def main(argv=None):
         saved = json.load(f)["run"]
     task_name = saved["task_name"]
 
-    # play env variant: terminations/noise/DR stripped
-    env = make_env(task_name, num_envs=args.num_envs, play=True)
+    env_overrides = saved.get("env_overrides") or None
+
+    # play env variant: terminations/noise/DR stripped; the run's env.*
+    # overrides (if any) are re-applied so playback matches training
+    env = make_env(task_name, num_envs=args.num_envs, play=True,
+                   overrides=env_overrides)
     agent_cfg = PPOCfg(**{
         k: (tuple(v) if isinstance(v, list) else v)
         for k, v in saved["agent"].items()})
 
     # restore params from the full-TrainState checkpoint: build only an
     # abstract template (eval_shape — no device compute) and restore into it
-    train_env = make_env(task_name, num_envs=saved["num_envs"])
+    train_env = make_env(task_name, num_envs=saved["num_envs"],
+                         overrides=env_overrides)
     init_fn, _, policy_apply = make_learner(train_env, agent_cfg)
     recurrent = agent_cfg.policy_class == "ActorCriticRecurrent"
     template = jax.eval_shape(init_fn, jax.random.PRNGKey(0))

@@ -58,14 +58,25 @@ def main(argv=None):
 
     base = RUN_CONFIGS.get(args.run_config)
     overrides = parse_cli_overrides(extra)
-    # accept reference-style `env.num_envs=` / `agent.*=` / `train.*=` paths
-    remapped = {}
-    for k, v in overrides.items():
-        remapped[k.replace("env.num_envs", "num_envs")] = v
 
-    sweeps = list(_sweep_product(remapped)) if args.multirun else [remapped]
+    sweeps = list(_sweep_product(overrides)) if args.multirun else [overrides]
     for i, once in enumerate(sweeps):
-        cfg = apply_overrides(base, once)
+        # Reference-style dotted paths (utils/hydra.py:103-167 grammar):
+        # `env.*` routes into the task cfg via RunConfig.env_overrides
+        # (applied by make_env, which raises KeyError on unknown fields);
+        # `env.num_envs` maps to the top-level batch size; `agent.*`/
+        # `train.*`/`num_envs` apply to the RunConfig itself.
+        run_ovr, env_ovr = {}, dict(base.env_overrides or {})
+        for k, v in once.items():
+            if k == "env.num_envs":
+                run_ovr["num_envs"] = v
+            elif k.startswith("env."):
+                env_ovr[k[len("env."):]] = v
+            else:
+                run_ovr[k] = v
+        cfg = apply_overrides(base, run_ovr)
+        if env_ovr:
+            cfg = cfg.replace(env_overrides=env_ovr)
         if args.num_envs is not None:
             cfg = cfg.replace(num_envs=args.num_envs)
         if args.seed is not None:

@@ -150,7 +150,7 @@ class EnvState(struct.PyTreeNode):
     last_action: jax.Array         # [B, 2]
     command: jax.Array             # [B, C]
     command_timer: jax.Array       # [B] int32 steps until resample
-    push_timers: jax.Array         # [n_push, B] int32 substeps until next push
+    push_timers: jax.Array         # [n_push, B] int32 control steps until next push
     ep_return: jax.Array           # [B] running episode reward (logging)
     ep_len: jax.Array              # [B] int32
 
@@ -217,8 +217,6 @@ class WheeledEnv:
         )
         ctx = self._make_ctx(state, state.vehicle, None)
         obs = task.observe(ctx, k_obs)
-        if not cfg.enable_corruption:
-            pass  # observe() reads cfg.enable_corruption itself
         return state, obs
 
     # ------------------------------------------------------------------- step

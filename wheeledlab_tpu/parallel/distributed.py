@@ -29,15 +29,26 @@ def initialize(coordinator_address: Optional[str] = None,
                num_processes: Optional[int] = None,
                process_id: Optional[int] = None) -> None:
     """jax.distributed.initialize with TPU auto-detection (on Cloud TPU all
-    arguments are discovered from the metadata environment)."""
-    if jax.process_count() > 1:
+    arguments are discovered from the metadata environment).
+
+    With explicit arguments this is STRICT — a failure to reach the
+    coordinator or rendezvous raises (a silently non-distributed process in
+    a multi-host job corrupts the run). Only the zero-argument auto-detect
+    form falls back to single-process (local runs, tests). Exercised for
+    real by tests/test_distributed.py (2 CPU processes, 127.0.0.1
+    coordinator, 4 virtual devices each)."""
+    if jax.distributed.is_initialized():
         return  # already initialized
-    kwargs = {}
+    # NOTE: do not touch jax.process_count()/jax.devices() here — they would
+    # initialize the XLA backend, after which jax.distributed.initialize
+    # refuses to run (and the job would silently be single-process).
     if coordinator_address is not None:
-        kwargs = dict(coordinator_address=coordinator_address,
-                      num_processes=num_processes, process_id=process_id)
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+        return
     try:
-        jax.distributed.initialize(**kwargs)
+        jax.distributed.initialize()
     except (ValueError, RuntimeError):
         # single-process fallback (local runs, tests)
         pass

@@ -178,11 +178,23 @@ def render_task_frames(
     return render_drift_frames(positions, yaws)
 
 
-def save_video(frames: np.ndarray, path: str, fps: int = 50) -> str:
+def save_video(frames: np.ndarray, path: str, fps: int = 50,
+               resolution: Optional[Tuple[int, int]] = None,
+               crf: int = 30) -> str:
     """Encode (T, H, W, 3) uint8 frames to a video file (parity: the
     reference's CustomRecordVideo PyAV H.264 encode,
     custom_video_recorder.py:12-75). Encoder preference: PyAV H.264 ->
-    OpenCV MPEG-4 (.mp4) -> raw .npy dump as the last resort."""
+    OpenCV MPEG-4 (.mp4) -> raw .npy dump as the last resort.
+
+    `resolution` (W, H) resizes the frames before encoding (reference
+    LogConfig.video_resolution, common_cfg.py:28); `crf` is the H.264
+    constant rate factor (common_cfg.py:29) — honored on the PyAV path
+    only (MPEG-4/npy fallbacks have no CRF)."""
+    if resolution and tuple(resolution) != frames.shape[2:0:-1]:
+        w_out, h_out = int(resolution[0]), int(resolution[1])
+        yi = (np.arange(h_out) * frames.shape[1] // h_out).astype(np.intp)
+        xi = (np.arange(w_out) * frames.shape[2] // w_out).astype(np.intp)
+        frames = frames[:, yi[:, None], xi[None, :], :]
     try:
         import av  # noqa: F401
 
@@ -190,6 +202,7 @@ def save_video(frames: np.ndarray, path: str, fps: int = 50) -> str:
         stream = container.add_stream("h264", rate=fps)
         stream.height, stream.width = frames.shape[1:3]
         stream.pix_fmt = "yuv420p"
+        stream.options = {"crf": str(crf)}
         for f in frames:
             for packet in stream.encode(
                     av.VideoFrame.from_ndarray(f, format="rgb24")):

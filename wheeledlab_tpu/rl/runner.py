@@ -34,6 +34,12 @@ class LogCfg:
     checkpoint_every: int = 50       # reference save_interval=50
     video: bool = False              # record top-down training videos
     video_interval: int = 500        # iterations between recordings
+    video_length: int = 0            # steps per clip; 0 = the full rollout
+                                     # (reference video_length, common_cfg.py:20)
+    video_resolution: tuple = ()     # (W, H); () = renderer-native size
+                                     # (reference video_resolution, common_cfg.py:28)
+    video_crf: int = 30              # H.264 CRF (reference video_crf,
+                                     # common_cfg.py:29; PyAV path only)
     no_wandb: bool = True            # offline by default (no egress)
     wandb_project: str = "WheeledLab-TPU"
     test_mode: bool = False
@@ -211,11 +217,15 @@ def train(run_cfg: RunConfig, env=None, max_iterations: Optional[int] = None,
             vid_dir = os.path.join(run_dir, "videos")
             os.makedirs(vid_dir, exist_ok=True)
             with timer.phase("video"):
+                length = log_cfg.video_length or None  # 0 -> full rollout
                 frames = render_task_frames(
-                    env, run_cfg.task_name, np.asarray(traj_pos),
-                    np.asarray(traj_yaw),
-                    None if traj_cmd is None else np.asarray(traj_cmd))
-                save_video(frames, os.path.join(vid_dir, f"iter_{it + 1}.avi"))
+                    env, run_cfg.task_name, np.asarray(traj_pos)[:length],
+                    np.asarray(traj_yaw)[:length],
+                    None if traj_cmd is None
+                    else np.asarray(traj_cmd)[:length])
+                save_video(frames, os.path.join(vid_dir, f"iter_{it + 1}.avi"),
+                           resolution=log_cfg.video_resolution or None,
+                           crf=log_cfg.video_crf)
                 logger.log_video(it + 1, frames)
         if (it + 1) % log_cfg.log_every == 0 or it == n_iter - 1:
             # ONE batched device->host pull; per-item float(np.asarray(v))

@@ -203,10 +203,14 @@ def step(state: VehicleState, params: VehicleParams, terrain: Heightfield,
     if atlas is not None and not terrain.is_flat:
         local = atlas.extract(state.pos[:2])
 
-    def body(s, _):
-        s, aux = substep(s, params, local, steer_targets, wheel_targets, dt)
-        return s, aux
-
-    state, auxes = jax.lax.scan(body, state, None, length=decimation)
-    last_aux = jax.tree_util.tree_map(lambda x: x[-1], auxes)
-    return state, last_aux
+    # Python-unrolled decimation loop (decimation is a small static int).
+    # A `lax.scan` here is ~23x slower on TPU (measured, 16k envs): the
+    # tiny-body inner scan nested in the rollout scan defeats XLA fusion —
+    # every substep's ~100 elementwise ops run as separate HBM-round-trip
+    # kernels and the scan materializes all substeps' ContactAux — while the
+    # unrolled form fuses across substeps and keeps only the last aux live.
+    aux = None
+    for _ in range(decimation):
+        state, aux = substep(state, params, local, steer_targets,
+                             wheel_targets, dt)
+    return state, aux

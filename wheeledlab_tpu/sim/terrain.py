@@ -117,44 +117,6 @@ class Heightfield(struct.PyTreeNode):
                             friction=self.friction,
                             grid_shape=(nx, ny))
 
-    def resample(self, new_cell: float) -> "Heightfield":
-        """Bilinearly resample to a finer grid (done ONCE at task build).
-        Enables single-gather nearest-neighbor scans at scan resolution —
-        TPU gathers are ~1 element/cycle, so quartering the gather count
-        quarters the height-scan cost."""
-        if self.is_flat:
-            return self
-        nx, ny = self.height.shape
-        extent_x = (nx - 1) * float(self.cell)
-        extent_y = (ny - 1) * float(self.cell)
-        mx = int(round(extent_x / new_cell)) + 1
-        my = int(round(extent_y / new_cell)) + 1
-        xs = (jnp.arange(mx, dtype=jnp.float32) - (mx - 1) / 2.0) * new_cell
-        ys = (jnp.arange(my, dtype=jnp.float32) - (my - 1) / 2.0) * new_cell
-        gx, gy = jnp.meshgrid(xs, ys, indexing="ij")
-        pts = jnp.stack([gx, gy], axis=-1)
-        # host leaves: built once and captured by jitted closures
-        # (see utils/host.py)
-        return Heightfield(height=np.asarray(self.lookup(pts), np.float32),
-                           cell=np.float32(new_cell),
-                           friction=np.asarray(self.friction))
-
-    def lookup_nearest(self, xy: jax.Array) -> jax.Array:
-        """Nearest-cell height — ONE gather per point. xy: (..., 2) -> (...)."""
-        if self.is_flat:
-            return jnp.zeros(xy.shape[:-1], xy.dtype)
-        nx, ny = self.height.shape
-        gx = jnp.clip(jnp.round(xy[..., 0] / self.cell + (nx - 1) / 2.0),
-                      0, nx - 1).astype(jnp.int32)
-        gy = jnp.clip(jnp.round(xy[..., 1] / self.cell + (ny - 1) / 2.0),
-                      0, ny - 1).astype(jnp.int32)
-        return jnp.asarray(self.height)[gx, gy]
-
-    def lookup_and_normal_patch(self, xy: jax.Array, p: int):
-        """lookup_and_normal via a local patch — reference for tests; the hot
-        path extracts the patch once per control step (dynamics.step)."""
-        return self.extract_patch(xy.reshape(-1, 2).mean(0), p).lookup_and_normal(xy)
-
     def build_atlas(self, p: int = 24, stride: int = 6) -> "PatchAtlas":
         """Precompute every (p, p) window at `stride`-cell anchor spacing,
         stored as FLAT CONTIGUOUS ROWS (p*p,). Built once at task build.
@@ -182,49 +144,8 @@ class Heightfield(struct.PyTreeNode):
             cell=np.asarray(self.cell), friction=np.asarray(self.friction),
             p=p, stride=stride, nax=nax, nay=nay, grid_shape=(nx, ny))
 
-    def grid_scan_mxu(self, center_xy: jax.Array, yaw: jax.Array,
-                      size: float, resolution: float) -> jax.Array:
-        """Yaw-aligned grid scan with ZERO gathers: per-env `dynamic_slice`
-        patch extraction + one-hot row/col selection contracted on the MXU.
-        TPU has no hardware gather (~1 elem/cycle serialized); this form runs
-        the same sampling as dense matmuls. Nearest-cell sampling — call on a
-        texture resampled to ~`resolution` (see `resample`).
-
-        center_xy: (B, 2); yaw: (B,) -> (B, n*n) heights."""
-        n = int(round(size / resolution)) + 1
-        nx, ny = self.height.shape
-        cell = self.cell
-        # static patch size: scan diagonal + margin, clamped to the texture
-        p = min(int(np.ceil(size * np.sqrt(2.0) / float(cell))) + 4,
-                min(nx, ny))
-
-        axis = (jnp.arange(n, dtype=jnp.float32) - (n - 1) / 2.0) * resolution
-        ox, oy = jnp.meshgrid(axis, axis, indexing="ij")
-        offs_x = ox.ravel()
-        offs_y = oy.ravel()                       # (n*n,)
-        sel_iota = jnp.arange(p, dtype=jnp.int32)
-
-        def one(c_xy, th):
-            gx = c_xy[0] / cell + (nx - 1) / 2.0  # scalar grid coords
-            gy = c_xy[1] / cell + (ny - 1) / 2.0
-            sx = jnp.clip(jnp.round(gx).astype(jnp.int32) - p // 2, 0, nx - p)
-            sy = jnp.clip(jnp.round(gy).astype(jnp.int32) - p // 2, 0, ny - p)
-            patch = jax.lax.dynamic_slice(self.height, (sx, sy), (p, p))
-            c, s = jnp.cos(th), jnp.sin(th)
-            u = gx + (offs_x * c - offs_y * s) / cell - sx
-            v = gy + (offs_x * s + offs_y * c) / cell - sy
-            iu = jnp.clip(jnp.round(u).astype(jnp.int32), 0, p - 1)
-            iv = jnp.clip(jnp.round(v).astype(jnp.int32), 0, p - 1)
-            row_sel = (iu[:, None] == sel_iota[None, :]).astype(patch.dtype)
-            rows = row_sel @ patch                       # (n*n, p) via MXU
-            col_sel = (iv[:, None] == sel_iota[None, :]).astype(patch.dtype)
-            return (rows * col_sel).sum(-1)
-
-        return jax.vmap(one)(center_xy, yaw)
-
     def grid_scan(self, center_xy: jax.Array, yaw: jax.Array,
-                  size: float, resolution: float,
-                  nearest: bool = False) -> jax.Array:
+                  size: float, resolution: float) -> jax.Array:
         """Yaw-aligned grid of height samples around center — the RayCaster
         height-scanner equivalent (reference mushr_elevation_env_cfg.py:132-142:
         GridPatternCfg(size=[2.5, 2.5], resolution=0.1), attach_yaw_only).
@@ -241,7 +162,7 @@ class Heightfield(struct.PyTreeNode):
         pts = jnp.stack(
             [center_xy[..., 0:1] + rot_x, center_xy[..., 1:2] + rot_y], axis=-1
         )  # (..., n*n, 2)
-        return self.lookup_nearest(pts) if nearest else self.lookup(pts)
+        return self.lookup(pts)
 
 
 class TerrainPatch(struct.PyTreeNode):

@@ -77,4 +77,6 @@ def make_env(task_name: str, num_envs: Optional[int] = None,
         cfg = cfg.replace(num_envs=num_envs)
     if overrides:
         cfg = apply_overrides(cfg, dict(overrides))
-    return entry["make"](cfg)
+    env = entry["make"](cfg)
+    env.task_cfg = cfg  # the resolved task-level cfg, for introspection/play
+    return env

@@ -157,9 +157,8 @@ def elevation_gain(ctx: StepCtx) -> jax.Array:
 
 def make_elevation_obs(atlas):
     """Obs fn closure over the terrain PatchAtlas: per-env patch row gather +
-    bilinear one-hot MXU scan (sim/terrain.py — replaces the former
-    resampled-texture grid_scan_mxu; same sampling pattern, exact bilinear
-    on the native terrain grid, ~3x faster end to end)."""
+    bilinear one-hot MXU scan (sim/terrain.py) — exact bilinear sampling on
+    the native terrain grid with zero per-element gathers."""
 
     def elevation_obs(ctx: StepCtx, key: jax.Array) -> jax.Array:
         v = ctx.vehicle

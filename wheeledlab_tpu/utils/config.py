@@ -11,7 +11,7 @@ grammar as the reference CLI (`env.rewards.side_slip.weight=100.0`).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Dict, Type, TypeVar
+from typing import Any, Dict, Type, TypeVar
 
 T = TypeVar("T")
 
@@ -140,16 +140,5 @@ class Registry:
         return name in self._entries
 
 
-TASKS = Registry("task")          # task id -> TaskSpec (env cfg + agent cfg + play cfg)
+TASKS = Registry("task")          # task id -> {"cfg", "play_cfg", "make"} (tasks/__init__.py)
 RUN_CONFIGS = Registry("run config")  # run name -> RunConfig
-
-
-@configclass
-class TaskSpec:
-    """Binding of a task id to its configs — the gym-registry equivalent
-    (reference wheeledlab_tasks/__init__.py:14-63)."""
-
-    env_cfg: Any = None
-    agent_cfg: Any = None
-    play_env_cfg: Any = None
-    make_env: Callable[..., Any] = None  # (env_cfg) -> WheeledEnv
