@@ -1,36 +1,67 @@
 #!/usr/bin/env python
-"""Multi-chip / multi-host scaling benchmark for the drift env + PPO.
+"""Multi-chip / multi-host scaling benchmark for the drift env + PPO —
+the BASELINE.json "linear host scaling" metric.
 
-Single host:      python scripts/scale_bench.py --num-envs 65536
+Weak scaling: envs-per-device held fixed, the env batch shards over the
+`data` mesh axis (physics has zero collectives — each chip steps its local
+shard independently); the PPO update all-reduces gradients over ICI.
+Reports aggregate env-steps/s and per-chip rate.
+
+Measurement methodology matches bench.py (dispatch-proof): auto-scaled
+repeat count to a >= min-wall timed window, anchored by `jax.device_get`
+of a scalar that data-depends on every iteration.
+
+Single host / virtual mesh ladder (the committed docs/runs/scale_r03
+artifact; conftest-style 8-device CPU mesh):
+    JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+        python scripts/scale_bench.py --devices 1  # then 2, 4, 8
 Pod slice (one process per host, standard TPU launch):
-                  python scripts/scale_bench.py --distributed
-
-Envs shard over the `data` mesh axis (physics has zero collectives — each
-chip steps its local shard independently); the PPO update all-reduces
-gradients over ICI. Reports aggregate env-steps/s and per-chip rate, the
-BASELINE.json linear-scaling metric.
+    python scripts/scale_bench.py --distributed
 """
 
 import argparse
 import json
+import math
 import os
 import sys
 import time
 
-import jax
-
 # runnable as `python scripts/scale_bench.py` without installing the package
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+MAX_ITERS = 8192
+
+
+def measure(fn, state, steps_per_iter: int, min_wall: float):
+    """Anchored auto-scaling timing; returns (steps_per_s, wall, iters)."""
+    iters = 1
+    while True:
+        t0 = time.perf_counter()
+        s = state
+        for _ in range(iters):
+            s, r = fn(s)
+        anchor = float(jax.device_get(r))  # forces execution to finish
+        assert math.isfinite(anchor), "non-finite result in scaling bench"
+        wall = time.perf_counter() - t0
+        if wall >= min_wall or iters >= MAX_ITERS:
+            return steps_per_iter * iters / wall, wall, iters
+        grow = max(2.0, min_wall * 1.25 / max(wall, 1e-9))
+        iters = min(MAX_ITERS, int(math.ceil(iters * grow)))
 
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--num-envs", type=int, default=65536)
-    p.add_argument("--rollout", type=int, default=128)
-    p.add_argument("--iters", type=int, default=3)
+    p.add_argument("--devices", type=int, default=None,
+                   help="mesh size (default: every visible device)")
+    p.add_argument("--envs-per-device", type=int, default=2048)
+    p.add_argument("--rollout", type=int, default=32)
+    p.add_argument("--min-wall", type=float, default=1.0)
     p.add_argument("--distributed", action="store_true")
     p.add_argument("--full-ppo", action="store_true",
                    help="benchmark the full train iteration, not just rollout")
+    p.add_argument("--out", default=None, help="also write the JSON line here")
     args = p.parse_args()
 
     from wheeledlab_tpu.parallel import distributed, shard_train_state
@@ -40,60 +71,76 @@ def main():
 
     if args.distributed:
         distributed.initialize()
-    n_dev = len(jax.devices())
+    n_dev = args.devices or len(jax.devices())
     mesh = make_mesh(n_dev)
-    num_envs = (args.num_envs // (n_dev * 128)) * n_dev * 128 or n_dev * 128
+    num_envs = n_dev * args.envs_per_device
 
     env = make_env("MushrDriftRL-v0", num_envs=num_envs)
 
-    if args.full_ppo:
-        init_fn, train_iter, _ = make_ppo(env, PPOCfg())
-        state = jax.jit(init_fn)(jax.random.PRNGKey(0))
-        state = shard_train_state(state, mesh, num_envs)
-        with jax.sharding.set_mesh(mesh):
-            fn = jax.jit(train_iter, donate_argnums=(0,))
-            state, m = fn(state)
-            jax.block_until_ready(m["loss/total"])
-            t0 = time.time()
-            for _ in range(args.iters):
-                state, m = fn(state)
-            jax.block_until_ready(m["loss/total"])
-        steps = num_envs * 128 * args.iters
-    else:
-        import jax.numpy as jnp
+    with jax.sharding.set_mesh(mesh):
+        if args.full_ppo:
+            cfg = PPOCfg(num_steps_per_env=args.rollout)
+            init_fn, train_iter, _ = make_ppo(env, cfg)
+            state = jax.jit(init_fn)(jax.random.PRNGKey(0))
+            state = shard_train_state(state, mesh, num_envs)
+            fn_jit = jax.jit(train_iter)
 
-        state, _ = jax.jit(env.reset)(jax.random.PRNGKey(0))
-        state = shard_batched_pytree(state, mesh, num_envs)
-        action = jax.device_put(
-            jnp.zeros((num_envs, 2)),
-            jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("data")))
+            def fn(s):
+                s, m = fn_jit(s)
+                return s, m["loss/total"]
+        else:
+            import jax.numpy as jnp
 
-        def rollout(s):
-            def body(x, _):
-                x, out = env.step(x, action)
-                return x, out.reward.sum()
-            return jax.lax.scan(body, s, None, length=args.rollout)
+            state, _ = jax.jit(env.reset)(jax.random.PRNGKey(0))
+            state = shard_batched_pytree(state, mesh, num_envs)
+            action = jax.device_put(
+                jnp.zeros((num_envs, 2)),
+                jax.sharding.NamedSharding(
+                    mesh, jax.sharding.PartitionSpec("data")))
 
-        with jax.sharding.set_mesh(mesh):
-            fn = jax.jit(rollout, donate_argnums=(0,))
-            state, r = fn(state)
-            jax.block_until_ready(r)
-            t0 = time.time()
-            for _ in range(args.iters):
-                state, r = fn(state)
-            jax.block_until_ready(r)
-        steps = num_envs * args.rollout * args.iters
+            def rollout(s):
+                # keep the per-step output SHARDED (B,) — a scalar here would
+                # force a cross-device all-reduce on every scan step; the
+                # single reduction after the scan anchors the timing instead
+                def body(x, _):
+                    x, out = env.step(x, action)
+                    return x, out.reward
+                s, rews = jax.lax.scan(body, s, None, length=args.rollout)
+                return s, rews.sum()
 
-    dt = time.time() - t0
+            fn = jax.jit(rollout)
+
+        # compile + warmup (anchored). Two chained calls: the second sees
+        # the GSPMD-derived output shardings as its inputs, which can differ
+        # from the initial device_put placement and trigger one more compile
+        # — that must not land in the timed window.
+        s, r = fn(state)
+        float(jax.device_get(r))
+        s, r = fn(s)
+        float(jax.device_get(r))
+        steps_per_iter = num_envs * args.rollout
+        rate, wall, iters = measure(fn, s, steps_per_iter, args.min_wall)
+
     if jax.process_index() == 0:
-        print(json.dumps({
+        row = {
             "devices": n_dev,
             "hosts": jax.process_count(),
             "num_envs": num_envs,
+            "envs_per_device": args.envs_per_device,
             "mode": "full_ppo" if args.full_ppo else "rollout",
-            "aggregate_env_steps_per_s": round(steps / dt, 1),
-            "per_chip_env_steps_per_s": round(steps / dt / n_dev, 1),
-        }))
+            "rollout": args.rollout,
+            "platform": jax.devices()[0].platform,
+            "aggregate_env_steps_per_s": round(rate, 1),
+            "per_chip_env_steps_per_s": round(rate / n_dev, 1),
+            "wall_s": round(wall, 3),
+            "timed_iters": iters,
+        }
+        line = json.dumps(row)
+        print(line)
+        if args.out:
+            os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+            with open(args.out, "w") as f:
+                f.write(line + "\n")
 
 
 if __name__ == "__main__":

@@ -116,3 +116,30 @@ class TestRecurrentPPO:
                 norm_adv)
             losses.append(float(m[0]))
         assert losses[-1] < losses[0], losses
+
+
+class TestRecurrentImproves:
+    """Task-level learning evidence for the recurrent family (VERDICT r2
+    item 6): recurrent PPO on the drift MDP must RAISE the rollout reward at
+    CPU scale, mirroring TestDriftImproves for the feedforward policy.
+    Measured seeds 0-2 at this scale: first5 0.74-0.86 -> last5 1.29-2.03
+    (ratios 1.51/2.27/2.76), so the 1.3x / +0.3 bars hold with margin."""
+
+    def test_recurrent_drift_improves(self):
+        import numpy as np
+
+        env = make_env("MushrDriftRL-v0", num_envs=256)
+        cfg = PPOCfg(policy_class="ActorCriticRecurrent", rnn_hidden_size=64,
+                     num_steps_per_env=32, num_learning_epochs=3,
+                     num_mini_batches=4)
+        init_fn, train_iter, _ = make_learner(env, cfg)
+        state = jax.jit(init_fn)(jax.random.PRNGKey(0))
+        it = jax.jit(train_iter, donate_argnums=(0,))
+        rews = []
+        for _ in range(40):
+            state, m = it(state)
+            rews.append(float(m["rollout/reward_mean"]))
+            assert np.isfinite(rews[-1])
+        first5, last5 = np.mean(rews[:5]), np.mean(rews[-5:])
+        assert last5 > first5 + 0.3, (first5, last5)
+        assert last5 > 1.3 * first5, (first5, last5)

@@ -49,6 +49,18 @@ F1TENTH_DRIFT_CONFIG = RunConfig(
     agent=DRIFT_PPO,
 )
 
+# Recurrent drift variant — the rsl_rl ActorCriticRecurrent family surface
+# (beyond the reference's registered configs, which all use plain
+# ActorCritic, rsl_rl_ppo_cfg.py:12). Learning evidence:
+# tests/test_recurrent.py::TestRecurrentImproves (reward 1.5-2.8x over 40
+# CPU-scale iterations, seeds 0-2).
+RSS_DRIFT_RNN_CONFIG = RunConfig(
+    task_name="MushrDriftRL-v0",
+    num_envs=1024,
+    train=TrainCfg(num_iterations=5000, log=LogCfg()),
+    agent=DRIFT_PPO.replace(policy_class="ActorCriticRecurrent"),
+)
+
 # Pod-scale actor-learner (BASELINE.json configs[5]): 64k envs sharded over
 # all chips/hosts on the data mesh feeding the GSPMD-replicated learner.
 # Same train_iteration as single-chip — launch with
@@ -62,5 +74,6 @@ POD_DRIFT_CONFIG = RunConfig(
 )
 
 for _name in ("RSS_DRIFT_CONFIG", "RSS_ELEV_CONFIG", "RSS_VISUAL_CONFIG",
-              "F1TENTH_DRIFT_CONFIG", "POD_DRIFT_CONFIG"):
+              "F1TENTH_DRIFT_CONFIG", "RSS_DRIFT_RNN_CONFIG",
+              "POD_DRIFT_CONFIG"):
     RUN_CONFIGS.register(_name, globals()[_name])
