@@ -66,6 +66,25 @@ class TestDriftArtifact:
         assert result["return"] >= 700.0
 
 
+class TestF1TenthArtifact:
+    """F1TENTH_DRIFT_CONFIG at the reference budget (1500 iterations,
+    drifting/config/agents/f1tenth/rsl_rl_ppo_cfg.py:8) — the 4WD F1Tenth
+    platform on the same oval MDP (f1tenth_drift_env_cfg.py)."""
+
+    def test_f1tenth_drift_learns(self):
+        rows, result = load_run("f1tenth_drift_tpu")
+        ret = series(rows, "episode/return")
+        slip = series(rows, "metrics/slip_deg")
+        speed = series(rows, "metrics/speed")
+        assert len(ret) >= 100
+        # measured: return 141 -> 324, slip 1.8 -> 10.1 deg, speed 0.77 -> 1.52
+        assert ret[-10:].mean() > 250, ret[-10:].mean()
+        assert ret[-10:].mean() > 1.8 * ret[:3].mean()
+        assert 7.0 <= slip[-10:].mean() <= 15.0, slip[-10:].mean()
+        assert speed[-10:].mean() >= 1.2, speed[-10:].mean()
+        assert result is not None and result["env_steps"] >= 196_000_000
+
+
 class TestElevationArtifact:
     """RSS_ELEV_CONFIG at the reference budget (4000 iterations,
     elevation/.../rsl_rl_ppo_cfg.py:7). Success metrics follow what the MDP
