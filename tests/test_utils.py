@@ -115,3 +115,39 @@ class TestQuatMath:
 if __name__ == "__main__":
     import sys
     sys.exit(pytest.main([__file__, "-x", "-q"]))
+
+
+class TestTaskCfgOverridability:
+    """Every field of every task cfg must be reachable through the dotted
+    CLI override grammar (reference utils/hydra.py:103-167 accepts overrides
+    for any env cfg path) — the CLI routes `env.<field>=<str>` here via
+    RunConfig.env_overrides -> make_env -> apply_overrides."""
+
+    @pytest.mark.parametrize("task_cfg_cls", [
+        "drift", "elevation", "visual"])
+    def test_every_field_round_trips_from_string(self, task_cfg_cls):
+        import dataclasses
+
+        if task_cfg_cls == "drift":
+            from wheeledlab_tpu.tasks.drift.task import DriftTaskCfg as C
+        elif task_cfg_cls == "elevation":
+            from wheeledlab_tpu.tasks.elevation.task import (
+                ElevationTaskCfg as C)
+        else:
+            from wheeledlab_tpu.tasks.visual.task import VisualTaskCfg as C
+
+        cfg = C()
+        for f in dataclasses.fields(cfg):
+            v = getattr(cfg, f.name)
+            if v is None:
+                continue  # untyped default; CLI literal-parses these
+            if isinstance(v, tuple):
+                s = "(" + ",".join(str(x) for x in v) + ")"
+            else:
+                s = str(v)
+            new = apply_overrides(cfg, {f.name: s})
+            got = getattr(new, f.name)
+            if isinstance(v, float):
+                assert abs(got - v) < 1e-12, (f.name, got, v)
+            else:
+                assert got == v, (f.name, got, v)

@@ -108,6 +108,31 @@ def main(argv=None):
     print(f"saved rollouts to {out_path}  "
           f"(obs {obs_t.shape}, mean reward {rew_t.mean():.3f})")
 
+    # Task-success metrics over the played episodes — machine-checkable
+    # playback evidence (the reference validated play runs only by watching
+    # the recorded videos). Written as <run>/play/play_metrics.json.
+    step_dt = env.cfg.sim_dt * env.cfg.decimation
+    vel = np.diff(pos_t[..., :2], axis=0) / step_dt            # (T-1, B, 2)
+    speed = np.linalg.norm(vel, axis=-1)
+    play_metrics = {"reward_mean": float(rew_t.mean()),
+                    "speed_mean": float(speed.mean())}
+    moving = speed > 0.5
+    if moving.any():
+        # body slip angle: motion direction vs heading (drift tasks)
+        slip = np.arctan2(vel[..., 1], vel[..., 0]) - yaw_t[:-1]
+        slip = np.degrees(np.abs((slip + np.pi) % (2 * np.pi) - np.pi))
+        play_metrics["slip_deg_mean"] = float(slip[moving].mean())
+    if cmd_t.shape[-1] >= 2 and np.abs(cmd_t[..., :2]).max() > 0:
+        # goal-conditioned task (elevation): fraction of envs that came
+        # within the at_goal radius (tasks/elevation/task.py::at_goal,
+        # dist=0.5) at any point in the episode
+        d = np.linalg.norm(pos_t[..., :2] - cmd_t[..., :2], axis=-1)
+        play_metrics["goal_reach_frac"] = float((d.min(axis=0) < 0.5).mean())
+        play_metrics["goal_dist_final"] = float(d[-1].mean())
+    with open(os.path.join(play_dir, "play_metrics.json"), "w") as f:
+        json.dump(play_metrics, f, indent=2)
+    print("play metrics:", json.dumps(play_metrics))
+
     if args.video:
         from ..render.topdown import render_task_frames, save_video
 
