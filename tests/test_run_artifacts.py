@@ -66,6 +66,26 @@ class TestDriftArtifact:
         assert result["return"] >= 700.0
 
 
+class TestRecurrentDriftArtifact:
+    """RSS_DRIFT_RNN_CONFIG (ActorCriticRecurrent, full-window BPTT) at 1500
+    iterations — beyond the reference's registered surface (its configs all
+    use plain ActorCritic, rsl_rl_ppo_cfg.py:12). The recurrent policy
+    out-drifts the feedforward one: deeper sustained slip at equal speed."""
+
+    def test_recurrent_drift_learns(self):
+        rows, result = load_run("rss_drift_rnn_tpu")
+        ret = series(rows, "episode/return")
+        slip = series(rows, "metrics/slip_deg")
+        speed = series(rows, "metrics/speed")
+        assert len(ret) >= 100
+        # measured: return 367 -> 1050, slip 1.6 -> 18.8 deg, speed 1.56 m/s
+        assert ret[-10:].mean() > 900, ret[-10:].mean()
+        assert ret[-10:].mean() > 2.0 * ret[:3].mean()
+        assert 13.0 <= slip[-10:].mean() <= 25.0, slip[-10:].mean()
+        assert speed[-10:].mean() >= 1.2, speed[-10:].mean()
+        assert result is not None and result["env_steps"] >= 196_000_000
+
+
 class TestF1TenthArtifact:
     """F1TENTH_DRIFT_CONFIG at the reference budget (1500 iterations,
     drifting/config/agents/f1tenth/rsl_rl_ppo_cfg.py:8) — the 4WD F1Tenth
