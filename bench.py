@@ -57,7 +57,14 @@ def _peak_hbm() -> float | None:
 
 
 def measure(rollout, state, key, steps_per_iter: int):
-    """Auto-scaling anchored timing; returns (steps_per_s, wall_s, iters)."""
+    """Auto-scaling anchored timing; returns (steps_per_s, wall_s, iters).
+
+    Never accepts a window of fewer than MIN_ITERS calls: a single call can
+    embed one-time costs (measured: the second call with a distinct input
+    layout triggers a ~2 s relayout recompile via the remote compile
+    service), and a 1-call window that happens to exceed MIN_WALL would
+    publish that artifact as the steady rate."""
+    MIN_ITERS = 4
     iters = 1
     while True:
         t0 = time.perf_counter()
@@ -67,10 +74,10 @@ def measure(rollout, state, key, steps_per_iter: int):
         anchor = float(jax.device_get(r))  # forces real execution to finish
         assert math.isfinite(anchor), "benchmark rollout produced non-finite reward"
         wall = time.perf_counter() - t0
-        if wall >= MIN_WALL or iters >= MAX_ITERS:
+        if (wall >= MIN_WALL and iters >= MIN_ITERS) or iters >= MAX_ITERS:
             return steps_per_iter * iters / wall, wall, iters
         grow = max(2.0, MIN_WALL * 1.25 / max(wall, 1e-9))
-        iters = min(MAX_ITERS, int(math.ceil(iters * grow)))
+        iters = min(MAX_ITERS, max(MIN_ITERS, int(math.ceil(iters * grow))))
 
 
 def roofline_check(env_steps_per_s: float, num_envs: int):
@@ -119,8 +126,13 @@ def main():
         state, rews = jax.lax.scan(body, state, keys)
         return state, rews.sum()
 
-    # warmup/compile (anchored, so compile time never leaks into the window)
+    # warmup/compile (anchored, so compile time never leaks into the window).
+    # TWO chained calls: the second call sees the rollout's own output
+    # layouts as inputs, which can differ from reset's and trigger one more
+    # (remote) compile — that must happen here, not in a timed window.
     state, r = rollout(state, jax.random.PRNGKey(1))
+    float(jax.device_get(r))
+    state, r = rollout(state, jax.random.PRNGKey(1000))
     float(jax.device_get(r))
 
     runs = [measure(rollout, state, jax.random.PRNGKey(2 + i),

@@ -35,7 +35,10 @@ MAX_ITERS = 8192
 
 
 def measure(fn, state, steps_per_iter: int, min_wall: float):
-    """Anchored auto-scaling timing; returns (steps_per_s, wall, iters)."""
+    """Anchored auto-scaling timing; returns (steps_per_s, wall, iters).
+    Never accepts a window of fewer than MIN_ITERS calls (a 1-call window
+    can publish a one-time recompile as the steady rate — bench.py)."""
+    MIN_ITERS = 4
     iters = 1
     while True:
         t0 = time.perf_counter()
@@ -45,10 +48,10 @@ def measure(fn, state, steps_per_iter: int, min_wall: float):
         anchor = float(jax.device_get(r))  # forces execution to finish
         assert math.isfinite(anchor), "non-finite result in scaling bench"
         wall = time.perf_counter() - t0
-        if wall >= min_wall or iters >= MAX_ITERS:
+        if (wall >= min_wall and iters >= MIN_ITERS) or iters >= MAX_ITERS:
             return steps_per_iter * iters / wall, wall, iters
         grow = max(2.0, min_wall * 1.25 / max(wall, 1e-9))
-        iters = min(MAX_ITERS, int(math.ceil(iters * grow)))
+        iters = min(MAX_ITERS, max(MIN_ITERS, int(math.ceil(iters * grow))))
 
 
 def main():
