@@ -20,7 +20,7 @@ import jax
 import numpy as np
 
 from ..utils.config import RUN_CONFIGS, configclass, to_dict
-from .ppo import PPOCfg, TrainState, make_learner, make_ppo
+from .ppo import PPOCfg, TrainState, make_learner
 
 
 @configclass
