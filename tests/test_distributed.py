@@ -39,10 +39,12 @@ def _worker_env(local_devices: int):
     return env
 
 
-def _run_workers(port: int, nproc: int, local_devices: int):
+def _run_workers(port: int, nproc: int, local_devices: int,
+                 ckpt_dir: str | None = None):
+    extra = [ckpt_dir] if ckpt_dir else []
     procs = [
         subprocess.Popen(
-            [sys.executable, WORKER, str(port), str(nproc), str(pid)],
+            [sys.executable, WORKER, str(port), str(nproc), str(pid)] + extra,
             env=_worker_env(local_devices),
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
         for pid in range(nproc)
@@ -60,6 +62,9 @@ def _run_workers(port: int, nproc: int, local_devices: int):
         assert p.returncode == 0, f"worker failed:\n{out}"
     results = []
     for out in outs:
+        if ckpt_dir:
+            assert "CKPT_OK" in out, \
+                f"multi-host checkpoint round-trip failed:\n{out}"
         lines = [l for l in out.splitlines() if l.startswith("RESULT ")]
         assert lines, f"no RESULT line in worker output:\n{out}"
         results.append(json.loads(lines[-1][len("RESULT "):]))
@@ -67,9 +72,13 @@ def _run_workers(port: int, nproc: int, local_devices: int):
 
 
 @pytest.mark.slow
-def test_two_process_sharded_train_step_matches_single_process():
+def test_two_process_sharded_train_step_matches_single_process(tmp_path):
     port = _free_port()
-    two = _run_workers(port, nproc=2, local_devices=4)
+    # the 2-process job also saves + restores a multi-host orbax checkpoint
+    # of the sharded TrainState and trains one step from the restored state
+    # (each worker prints CKPT_OK, asserted below)
+    two = _run_workers(port, nproc=2, local_devices=4,
+                       ckpt_dir=str(tmp_path / "ckpt"))
     single = _run_workers(_free_port(), nproc=1, local_devices=8)[0]
 
     assert two[0].keys() == two[1].keys() == single.keys()
