@@ -151,3 +151,37 @@ class TestShardedTraining:
 if __name__ == "__main__":
     import sys
     sys.exit(pytest.main([__file__, "-x", "-q"]))
+
+
+class TestShardedRecurrent:
+    """The recurrent learner's (B, H) LSTM carries must shard with the env
+    batch (VERDICT-class gap: shard_train_state previously skipped the
+    `hidden` field, leaving it off-mesh)."""
+
+    def test_recurrent_train_step_on_mesh(self):
+        from wheeledlab_tpu.rl.ppo import PPOCfg, make_learner
+
+        n = 64
+        env = make_env("MushrDriftRL-v0", num_envs=n)
+        cfg = PPOCfg(policy_class="ActorCriticRecurrent", rnn_hidden_size=16,
+                     num_steps_per_env=8, num_learning_epochs=2,
+                     num_mini_batches=2)
+        init_fn, train_iter, _ = make_learner(env, cfg)
+        state0 = jax.jit(init_fn)(jax.random.PRNGKey(0))
+
+        _, m_ref = jax.jit(train_iter)(state0)
+
+        mesh = make_mesh(8)
+        sharded = shard_train_state(state0, mesh, n)
+        # hidden carries shard over the data axis like the env batch
+        h_leaf = jax.tree_util.tree_leaves(sharded.hidden)[0]
+        assert h_leaf.sharding == batch_sharding(mesh)
+        assert {s.data.shape for s in h_leaf.addressable_shards} == \
+            {(n // 8, 16)}
+        with jax.sharding.set_mesh(mesh):
+            new_state, m = jax.jit(train_iter)(sharded)
+        jax.block_until_ready(m["loss/total"])
+        assert np.isfinite(float(m["loss/total"]))
+        np.testing.assert_allclose(
+            float(m["rollout/reward_mean"]),
+            float(m_ref["rollout/reward_mean"]), rtol=2e-4)

@@ -64,6 +64,11 @@ def shard_train_state(train_state, mesh: Mesh, num_envs: int):
     data = batch_sharding(mesh)
     repl = replicated(mesh)
     env_state = shard_batched_pytree(train_state.env_state, mesh, num_envs)
+    extra = {}
+    if hasattr(train_state, "hidden"):
+        # recurrent learner: (B, H) LSTM carries shard with the env batch
+        extra["hidden"] = shard_batched_pytree(
+            train_state.hidden, mesh, num_envs)
     return train_state.replace(
         params=jax.device_put(train_state.params, repl),
         opt_state=jax.device_put(train_state.opt_state, repl),
@@ -71,6 +76,7 @@ def shard_train_state(train_state, mesh: Mesh, num_envs: int):
         obs=jax.device_put(train_state.obs, data),
         key=jax.device_put(train_state.key, repl),
         iteration=jax.device_put(train_state.iteration, repl),
+        **extra,
     )
 
 
