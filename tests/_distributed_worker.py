@@ -85,6 +85,21 @@ def main():
     out = {k: float(jax.device_get(v)) for k, v in metrics.items()
            if getattr(v, "ndim", None) == 0}
     assert out, "no scalar metrics returned"
+
+    # Recurrent learner over the same global mesh: its per-env carries
+    # (hidden LSTM state, reset_prev) must be sharded too — in a real
+    # multi-process job a host-local [B] array fed into the global-mesh jit
+    # is non-addressable and fails at dispatch (ADVICE r3 #2).
+    rnn_cfg = cfg.replace(policy_class="ActorCriticRecurrent",
+                          rnn_hidden_size=16)
+    rnn_init, rnn_iteration, _ = make_learner(env, rnn_cfg)
+    rnn_state = jax.jit(rnn_init)(jax.random.PRNGKey(0))
+    rnn_state = shard_train_state(rnn_state, mesh, num_envs)
+    rnn_state, rnn_metrics = jax.jit(rnn_iteration)(rnn_state)
+    out.update({f"rnn/{k}": float(jax.device_get(v))
+                for k, v in rnn_metrics.items()
+                if getattr(v, "ndim", None) == 0})
+
     print("RESULT " + json.dumps(out), flush=True)
 
 

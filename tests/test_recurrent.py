@@ -103,7 +103,7 @@ class TestRecurrentPPO:
         internals = {}
         init_fn, train_iter, _ = make_ppo_recurrent(env, cfg, internals)
         state = jax.jit(init_fn)(jax.random.PRNGKey(1))
-        _, _, _, _, h0, traj, _, key = jax.jit(internals["rollout"])(state)
+        _, _, _, _, h0, traj, _, _, key = jax.jit(internals["rollout"])(state)
         _, _, last_v = (lambda r: (None, None, r))(
             jnp.zeros((8,)))  # zero bootstrap is fine for this check
         _, returns, norm_adv = internals["compute_gae"](traj, last_v)

@@ -178,6 +178,9 @@ class TestShardedRecurrent:
         assert h_leaf.sharding == batch_sharding(mesh)
         assert {s.data.shape for s in h_leaf.addressable_shards} == \
             {(n // 8, 16)}
+        # ... and so does every other per-env carry (ADVICE r3 #2:
+        # reset_prev was left at its original placement)
+        assert sharded.reset_prev.sharding == batch_sharding(mesh)
         with jax.sharding.set_mesh(mesh):
             new_state, m = jax.jit(train_iter)(sharded)
         jax.block_until_ready(m["loss/total"])

@@ -122,10 +122,13 @@ def main(argv=None):
         slip = np.arctan2(vel[..., 1], vel[..., 0]) - yaw_t[:-1]
         slip = np.degrees(np.abs((slip + np.pi) % (2 * np.pi) - np.pi))
         play_metrics["slip_deg_mean"] = float(slip[moving].mean())
-    if cmd_t.shape[-1] >= 2 and np.abs(cmd_t[..., :2]).max() > 0:
-        # goal-conditioned task (elevation): fraction of envs that came
-        # within the at_goal radius (tasks/elevation/task.py::at_goal,
-        # dist=0.5) at any point in the episode
+    if env.task.command is not None:
+        # goal-conditioned task (elevation): the task carries a CommandCfg,
+        # whose fields are positional (pos_x/pos_y/heading) by construction —
+        # keyed off the task, not inferred from command values, so a future
+        # non-positional command can't silently emit bogus goal metrics.
+        # Metric: fraction of envs that came within the at_goal radius
+        # (tasks/elevation/task.py::at_goal, dist=0.5) at any point.
         d = np.linalg.norm(pos_t[..., :2] - cmd_t[..., :2], axis=-1)
         play_metrics["goal_reach_frac"] = float((d.min(axis=0) < 0.5).mean())
         play_metrics["goal_dist_final"] = float(d[-1].mean())

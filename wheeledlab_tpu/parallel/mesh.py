@@ -60,23 +60,25 @@ def shard_batched_pytree(tree, mesh: Mesh, batch_size: int):
 def shard_train_state(train_state, mesh: Mesh, num_envs: int):
     """Canonical placement for a PPO TrainState: env batch over `data`,
     params/opt replicated. GSPMD then derives: rollout fully local per shard;
-    minibatch gradients all-reduced over ICI."""
-    data = batch_sharding(mesh)
+    minibatch gradients all-reduced over ICI.
+
+    Every field other than params/opt_state goes through
+    `shard_batched_pytree`, so ANY learner-specific per-env carry (the
+    recurrent learner's `hidden` LSTM carries and `reset_prev` done flags,
+    or future fields) lands on the data axis — in a real multi-process job a
+    host-local array fed into a jit over the global mesh is non-addressable,
+    so missing even one [B] field fails at dispatch (exercised by
+    tests/_distributed_worker.py with the recurrent learner)."""
     repl = replicated(mesh)
-    env_state = shard_batched_pytree(train_state.env_state, mesh, num_envs)
-    extra = {}
-    if hasattr(train_state, "hidden"):
-        # recurrent learner: (B, H) LSTM carries shard with the env batch
-        extra["hidden"] = shard_batched_pytree(
-            train_state.hidden, mesh, num_envs)
+    placed = {
+        name: shard_batched_pytree(getattr(train_state, name), mesh, num_envs)
+        for name in train_state.__dataclass_fields__
+        if name not in ("params", "opt_state")
+    }
     return train_state.replace(
         params=jax.device_put(train_state.params, repl),
         opt_state=jax.device_put(train_state.opt_state, repl),
-        env_state=env_state,
-        obs=jax.device_put(train_state.obs, data),
-        key=jax.device_put(train_state.key, repl),
-        iteration=jax.device_put(train_state.iteration, repl),
-        **extra,
+        **placed,
     )
 
 

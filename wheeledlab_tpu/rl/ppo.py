@@ -117,6 +117,21 @@ def finalize_info_acc(acc: Dict[str, jax.Array], num_steps: int,
     return out
 
 
+def traj_captures(env_state: EnvState) -> Dict[str, jax.Array]:
+    """Per-step trajectory capture of the first few envs for video rendering
+    (training-video parity with the reference's periodic recordings,
+    common_cfg.py:19-29). Shared by the MLP and recurrent rollouts so
+    `--video` works for both policy classes."""
+    q = env_state.vehicle.quat
+    return {
+        "traj/pos": env_state.vehicle.pos[:8, :2],
+        "traj/yaw": jnp.arctan2(
+            2 * (q[:8, 0] * q[:8, 3] + q[:8, 1] * q[:8, 2]),
+            1 - 2 * (q[:8, 2] ** 2 + q[:8, 3] ** 2)),
+        "traj/cmd": env_state.command[:8, :2],
+    }
+
+
 class Transition(NamedTuple):
     obs: jax.Array
     action: jax.Array
@@ -186,18 +201,7 @@ def make_ppo(env: WheeledEnv, cfg: PPOCfg, _internals: dict | None = None):
                             done=out.done.astype(jnp.float32),
                             mean=mean, std=std)
             acc = accumulate_info(acc, out.info, out.done)
-            # trajectory capture of the first few envs (training-video parity
-            # with the reference's periodic recordings, common_cfg.py:19-29)
-            caps = {
-                "traj/pos": env_state.vehicle.pos[:8, :2],
-                "traj/yaw": jnp.arctan2(
-                    2 * (env_state.vehicle.quat[:8, 0] * env_state.vehicle.quat[:8, 3]
-                         + env_state.vehicle.quat[:8, 1] * env_state.vehicle.quat[:8, 2]),
-                    1 - 2 * (env_state.vehicle.quat[:8, 2] ** 2
-                             + env_state.vehicle.quat[:8, 3] ** 2)),
-                "traj/cmd": env_state.command[:8, :2],
-            }
-            return (env_state, out.obs, acc), (tr, caps)
+            return (env_state, out.obs, acc), (tr, traj_captures(env_state))
 
         keys = jax.random.split(state.key, cfg.num_steps_per_env + 1)
         acc0 = init_info_acc(env, state.env_state)

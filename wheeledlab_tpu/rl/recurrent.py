@@ -31,7 +31,9 @@ from flax import linen as nn
 from flax import struct
 
 from ..envs.env import EnvState, WheeledEnv
-from .ppo import accumulate_info, finalize_info_acc, init_info_acc
+from .ppo import (
+    accumulate_info, finalize_info_acc, init_info_acc, traj_captures,
+)
 from .networks import (
     MLP, gaussian_entropy, gaussian_kl, gaussian_log_prob,
 )
@@ -202,14 +204,14 @@ def make_ppo_recurrent(env: WheeledEnv, cfg, _internals: dict | None = None):
             acc = accumulate_info(acc, out.info, out.done)
             carry = (env_state, out.obs, hidden,
                      out.done.astype(jnp.float32), acc)
-            return carry, tr
+            return carry, (tr, traj_captures(env_state))
 
         keys = jax.random.split(state.key, cfg.num_steps_per_env + 1)
         acc0 = init_info_acc(env, state.env_state)
-        (env_state, obs, hidden, reset_prev, acc), traj = jax.lax.scan(
+        (env_state, obs, hidden, reset_prev, acc), (traj, caps) = jax.lax.scan(
             step, (state.env_state, state.obs, state.hidden,
                    state.reset_prev, acc0), keys[1:])
-        return env_state, obs, hidden, reset_prev, h0, traj, acc, keys[0]
+        return env_state, obs, hidden, reset_prev, h0, traj, acc, caps, keys[0]
 
     # ----------------------------------------------------------------- GAE
 
@@ -295,7 +297,7 @@ def make_ppo_recurrent(env: WheeledEnv, cfg, _internals: dict | None = None):
     # ------------------------------------------------------ full iteration
 
     def train_iteration(state: RecurrentTrainState):
-        (env_state, obs, hidden, reset_prev, h0, traj, acc,
+        (env_state, obs, hidden, reset_prev, h0, traj, acc, caps,
          key) = rollout(state)
         _, _, last_value, _ = policy_apply(
             state.params, obs, hidden, reset_prev)
@@ -321,6 +323,9 @@ def make_ppo_recurrent(env: WheeledEnv, cfg, _internals: dict | None = None):
                                    ).astype(jnp.float32),
         }
         metrics.update(finalize_info_acc(acc, cfg.num_steps_per_env, n_done))
+        # [T, 8, ...] rollout trajectories so `--video` records for the
+        # recurrent policy class too (runner pops traj/* before scalarizing)
+        metrics.update(caps)
 
         new_state = RecurrentTrainState(
             params=params, opt_state=opt_state, env_state=env_state, obs=obs,

@@ -57,7 +57,10 @@ F1TENTH_DRIFT_CONFIG = RunConfig(
 RSS_DRIFT_RNN_CONFIG = RunConfig(
     task_name="MushrDriftRL-v0",
     num_envs=1024,
-    train=TrainCfg(num_iterations=5000, log=LogCfg()),
+    # 1500 iterations == the budget that produced the committed
+    # docs/runs/rss_drift_rnn_tpu artifact (return 1071), keeping the
+    # "named config reproduces its artifact" invariant.
+    train=TrainCfg(num_iterations=1500, log=LogCfg()),
     agent=DRIFT_PPO.replace(policy_class="ActorCriticRecurrent"),
 )
 

@@ -196,7 +196,7 @@ def make_visual_task(cfg: VisualTaskCfg) -> TaskModel:
         return jnp.concatenate([cam, lin, ang, act], axis=-1)
 
     reward_terms = (
-        RewardTerm("traversablility", 5.0, traversable_reward),
+        RewardTerm("traversability", 5.0, traversable_reward),
         RewardTerm("vel_rew", 7.0, forward_vel),
     ) if cfg.rewards_enabled else ()
 
