@@ -83,7 +83,8 @@ def main():
     with jax.sharding.set_mesh(mesh):
         if args.full_ppo:
             cfg = PPOCfg(num_steps_per_env=args.rollout)
-            init_fn, train_iter, _ = make_ppo(env, cfg)
+            # mesh -> shard-local minibatch shuffle (no dataset all-to-all)
+            init_fn, train_iter, _ = make_ppo(env, cfg, mesh=mesh)
             state = jax.jit(init_fn)(jax.random.PRNGKey(0))
             state = shard_train_state(state, mesh, num_envs)
             fn_jit = jax.jit(train_iter)

@@ -53,9 +53,8 @@ def main():
     env = make_env("MushrDriftRL-v0", num_envs=num_envs)
     cfg = PPOCfg(num_steps_per_env=8, num_learning_epochs=2,
                  num_mini_batches=2)
-    init_fn, train_iteration, _ = make_learner(env, cfg)
-
     mesh = distributed.global_mesh()
+    init_fn, train_iteration, _ = make_learner(env, cfg, mesh=mesh)
     # every process computes the identical full state (same seed), then
     # re-shards it onto the global mesh
     state = jax.jit(init_fn)(jax.random.PRNGKey(0))
@@ -92,7 +91,7 @@ def main():
     # is non-addressable and fails at dispatch (ADVICE r3 #2).
     rnn_cfg = cfg.replace(policy_class="ActorCriticRecurrent",
                           rnn_hidden_size=16)
-    rnn_init, rnn_iteration, _ = make_learner(env, rnn_cfg)
+    rnn_init, rnn_iteration, _ = make_learner(env, rnn_cfg, mesh=mesh)
     rnn_state = jax.jit(rnn_init)(jax.random.PRNGKey(0))
     rnn_state = shard_train_state(rnn_state, mesh, num_envs)
     rnn_state, rnn_metrics = jax.jit(rnn_iteration)(rnn_state)

@@ -33,6 +33,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="record top-down training videos every "
                         "train.log.video_interval iterations (reference "
                         "LogConfig.video, common_cfg.py:19-29)")
+    p.add_argument("--distributed", action="store_true",
+                   help="shard the env batch over a data mesh of every "
+                        "visible chip (equivalent to train.distributed=on; "
+                        "POD_DRIFT_CONFIG sets this itself)")
     return p
 
 
@@ -87,6 +91,8 @@ def main(argv=None):
         if args.video:
             cfg = cfg.replace(train=cfg.train.replace(
                 log=cfg.train.log.replace(video=True)))
+        if args.distributed:
+            cfg = cfg.replace(train=cfg.train.replace(distributed="on"))
         if args.multirun and len(sweeps) > 1:
             name = cfg.train.log.run_name or "sweep"
             cfg = cfg.replace(train=cfg.train.replace(

@@ -18,8 +18,10 @@ import jax
 import jax.numpy as jnp
 import optax
 from flax import struct
+from jax.sharding import PartitionSpec as P
 
 from ..envs.env import EnvState, WheeledEnv
+from ..parallel.mesh import DATA_AXIS
 from ..utils.config import configclass
 from .networks import (
     ActorCritic, gaussian_entropy, gaussian_kl, gaussian_log_prob,
@@ -152,7 +154,8 @@ class TrainState(struct.PyTreeNode):
     iteration: jax.Array     # i32 scalar
 
 
-def make_ppo(env: WheeledEnv, cfg: PPOCfg, _internals: dict | None = None):
+def make_ppo(env: WheeledEnv, cfg: PPOCfg, _internals: dict | None = None,
+             mesh=None):
     """Returns (init_fn, train_iteration_fn, policy_apply).
 
     init_fn(key) -> TrainState
@@ -160,6 +163,14 @@ def make_ppo(env: WheeledEnv, cfg: PPOCfg, _internals: dict | None = None):
 
     `_internals`: pass a dict to receive the phase closures (rollout,
     compute_gae, update_epochs) for profiling/tests.
+
+    `mesh`: the data mesh when the TrainState will be sharded over it
+    (runner/scale_bench pass theirs). With a mesh the epoch shuffle is
+    SHARD-LOCAL (shard_map; zero collectives) instead of a global
+    permutation, which under data sharding is a cross-shard all-to-all of
+    the whole rollout dataset every epoch (~1 GB/epoch over ICI at 64k
+    envs). Without a mesh the original single-device path runs unchanged
+    (bit-identical goldens).
     """
     model = ActorCritic(
         action_dim=env.action_dim, actor_hidden=cfg.actor_hidden,
@@ -272,34 +283,61 @@ def make_ppo(env: WheeledEnv, cfg: PPOCfg, _internals: dict | None = None):
         return (params, opt_state), metrics
 
     def update_epochs(key, params, opt_state, dataset):
-        """dataset: tuple of arrays flattened to [N, ...]. One permutation
-        shared across epochs — exactly rsl_rl's mini_batch_generator (and one
-        gather pass instead of num_epochs).
+        """dataset: tuple of time-major [T, B, ...] rollout arrays (obs
+        first). One permutation shared across epochs — exactly rsl_rl's
+        mini_batch_generator (and one gather pass instead of num_epochs).
 
-        The 7 non-obs columns pack into ONE [N, C] array before the shuffle,
+        The 7 non-obs columns pack into ONE [.., C] array before the shuffle,
         so the whole shuffle is 2 gathers (obs + packed) instead of 8 — TPU
         random-index gathers are latency-bound per gather, and this halves
         the update wall time (measured 9.6 -> 5.3 ms at 131k samples on v5e).
         obs stays separate: for the visual task it is 3208-wide and packing
-        it would add a full extra copy of the largest array."""
-        n = dataset[0].shape[0]
-        mb_size = n // cfg.num_mini_batches
-        nb = cfg.num_mini_batches
-        perm = jax.random.permutation(key, n)
+        it would add a full extra copy of the largest array.
 
-        obs = dataset[0]
-        col2d = lambda x: x if x.ndim == 2 else x[:, None]
-        small = jnp.concatenate([col2d(x) for x in dataset[1:]], axis=1)
-        widths = [col2d(x).shape[1] for x in dataset[1:]]
-        obs_b = obs[perm][: mb_size * nb].reshape(
-            (nb, mb_size) + obs.shape[1:])
-        small_b = small[perm][: mb_size * nb].reshape(nb, mb_size, -1)
+        Sharded (mesh given): the permutation is per shard, computed inside
+        `shard_map` with the key folded by the shard index — each device
+        shuffles and minibatch-slices only its local [T, B/D] block, so the
+        compiled update contains NO all-to-all/all-gather of the dataset
+        (asserted on HLO in tests/test_sharding.py). Each global minibatch
+        is then the concatenation of D equal local sub-blocks; with equal
+        shard sizes the minibatch loss/grad means are exact, so semantics
+        match rsl_rl's up to which samples share a minibatch. Unsharded
+        path: the original global permutation, bit-identical to r3."""
+        nb = cfg.num_mini_batches
+        obs_tb = dataset[0]
+        col3d = lambda x: x if x.ndim == 3 else x[..., None]
+        small_tb = jnp.concatenate([col3d(x) for x in dataset[1:]], axis=-1)
+        widths = [col3d(x).shape[-1] for x in dataset[1:]]
+
+        def flat_shuffle(k, obs_blk, small_blk):
+            """[T, b, ...] block -> (nb, mb, ...) shuffled minibatches."""
+            t, b = obs_blk.shape[:2]
+            n = t * b
+            mb = n // nb
+            perm = jax.random.permutation(k, n)
+            o = obs_blk.reshape(n, -1)[perm][: mb * nb]
+            s = small_blk.reshape(n, -1)[perm][: mb * nb]
+            return (o.reshape(nb, mb, o.shape[-1]),
+                    s.reshape(nb, mb, s.shape[-1]))
+
+        if mesh is None or mesh.shape.get(DATA_AXIS, 1) == 1:
+            obs_b, small_b = flat_shuffle(key, obs_tb, small_tb)
+        else:
+            def local_shuffle(k, obs_blk, small_blk):
+                k = jax.random.fold_in(k, jax.lax.axis_index(DATA_AXIS))
+                return flat_shuffle(k, obs_blk, small_blk)
+
+            obs_b, small_b = jax.shard_map(
+                local_shuffle, mesh=mesh,
+                in_specs=(P(), P(None, DATA_AXIS), P(None, DATA_AXIS)),
+                out_specs=(P(None, DATA_AXIS), P(None, DATA_AXIS)),
+            )(key, obs_tb, small_tb)
 
         def unpack(ob, sm):
             cols, off = [ob], 0
             for x, w in zip(dataset[1:], widths):
                 c = sm[:, off:off + w]
-                cols.append(c[:, 0] if x.ndim == 1 else c)
+                cols.append(c[:, 0] if x.ndim == 2 else c)
                 off += w
             return tuple(cols)
 
@@ -322,11 +360,12 @@ def make_ppo(env: WheeledEnv, cfg: PPOCfg, _internals: dict | None = None):
         _, _, last_value = model.apply(state.params, obs)
         _, returns, norm_adv = compute_gae(traj, last_value)
 
-        flat = lambda x: x.reshape((-1,) + x.shape[2:])
+        # time-major [T, B, ...] columns; update_epochs flattens per shard
+        # (a global [T*B] flatten of a B-sharded array can itself reshard)
         dataset = (
-            flat(traj.obs), flat(traj.action), flat(traj.log_prob),
-            flat(traj.value), flat(returns), flat(norm_adv),
-            flat(traj.mean), flat(traj.std),
+            traj.obs, traj.action, traj.log_prob,
+            traj.value, returns, norm_adv,
+            traj.mean, traj.std,
         )
         key, k_update = jax.random.split(key)
         params, opt_state, loss_metrics = update_epochs(
@@ -365,14 +404,15 @@ def make_ppo(env: WheeledEnv, cfg: PPOCfg, _internals: dict | None = None):
     return init_fn, train_iteration, policy_apply
 
 
-def make_learner(env: WheeledEnv, cfg: PPOCfg, _internals: dict | None = None):
+def make_learner(env: WheeledEnv, cfg: PPOCfg, _internals: dict | None = None,
+                 mesh=None):
     """Policy-class dispatch (parity: rsl_rl resolves
     `RslRlPpoActorCriticCfg.class_name` to ActorCritic/ActorCriticRecurrent;
     the runner is agnostic to which)."""
     if cfg.policy_class == "ActorCritic":
-        return make_ppo(env, cfg, _internals)
+        return make_ppo(env, cfg, _internals, mesh)
     if cfg.policy_class == "ActorCriticRecurrent":
         from .recurrent import make_ppo_recurrent
 
-        return make_ppo_recurrent(env, cfg, _internals)
+        return make_ppo_recurrent(env, cfg, _internals, mesh)
     raise ValueError(f"unknown policy_class {cfg.policy_class!r}")

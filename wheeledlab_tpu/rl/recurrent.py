@@ -29,8 +29,10 @@ import jax.numpy as jnp
 import optax
 from flax import linen as nn
 from flax import struct
+from jax.sharding import PartitionSpec as P
 
 from ..envs.env import EnvState, WheeledEnv
+from ..parallel.mesh import DATA_AXIS
 from .ppo import (
     accumulate_info, finalize_info_acc, init_info_acc, traj_captures,
 )
@@ -135,11 +137,16 @@ class RecurrentTrainState(struct.PyTreeNode):
     iteration: jax.Array
 
 
-def make_ppo_recurrent(env: WheeledEnv, cfg, _internals: dict | None = None):
+def make_ppo_recurrent(env: WheeledEnv, cfg, _internals: dict | None = None,
+                       mesh=None):
     """Recurrent counterpart of `ppo.make_ppo` — same (init_fn,
     train_iteration, policy_apply) contract, same PPO semantics (GAE, clipped
     surrogate, adaptive-KL LR, 5 epochs x 4 minibatches), but minibatches
-    split the env axis and the update BPTTs through the rollout window."""
+    split the env axis and the update BPTTs through the rollout window.
+
+    `mesh`: as in make_ppo — with a data mesh the env-axis minibatch
+    permutation is shard-local (shard_map), so the sharded update gathers no
+    rollout data across devices."""
     model = ActorCriticRecurrent(
         action_dim=env.action_dim, actor_hidden=cfg.actor_hidden,
         critic_hidden=cfg.critic_hidden, activation=cfg.activation,
@@ -273,18 +280,36 @@ def make_ppo_recurrent(env: WheeledEnv, cfg, _internals: dict | None = None):
         return (params, opt_state), jnp.stack([loss, surr, vloss, ent, kl])
 
     def update_epochs(key, params, opt_state, h0, traj, returns, norm_adv):
-        n_envs = traj.obs.shape[1]
-        mb_envs = n_envs // cfg.num_mini_batches
-        perm = jax.random.permutation(key, n_envs)
-        cols = perm[: mb_envs * cfg.num_mini_batches].reshape(
-            cfg.num_mini_batches, mb_envs)
-        # [num_mb, T, mb_envs, ...] gathers along the env axis
-        take_env = lambda x: jnp.moveaxis(x[:, cols], 1, 0)
-        batched = (
-            jax.tree.map(lambda t: t[cols], h0),
-            jax.tree.map(take_env, traj),
-            take_env(returns), take_env(norm_adv),
-        )
+        nb = cfg.num_mini_batches
+
+        def gather_minibatches(k, h0_, traj_, ret_, adv_):
+            """Env-axis permutation + [num_mb, T, mb_envs, ...] gathers."""
+            n_envs = ret_.shape[1]
+            mb_envs = n_envs // nb
+            perm = jax.random.permutation(k, n_envs)
+            cols = perm[: mb_envs * nb].reshape(nb, mb_envs)
+            take_env = lambda x: jnp.moveaxis(x[:, cols], 1, 0)
+            return (jax.tree.map(lambda t: t[cols], h0_),
+                    jax.tree.map(take_env, traj_),
+                    take_env(ret_), take_env(adv_))
+
+        if mesh is None or mesh.shape.get(DATA_AXIS, 1) == 1:
+            batched = gather_minibatches(key, h0, traj, returns, norm_adv)
+        else:
+            # shard-local env permutation: each device gathers only its own
+            # [T, B/D] block (no cross-shard movement of the rollout; each
+            # global minibatch = D equal local sub-blocks, as in ppo.py)
+            def local_gather(k, h0_, traj_, ret_, adv_):
+                k = jax.random.fold_in(k, jax.lax.axis_index(DATA_AXIS))
+                return gather_minibatches(k, h0_, traj_, ret_, adv_)
+
+            env_axis = P(None, DATA_AXIS)   # [T, B, ...] / [nb, mb, H]
+            batched = jax.shard_map(
+                local_gather, mesh=mesh,
+                in_specs=(P(), P(DATA_AXIS), env_axis, env_axis, env_axis),
+                out_specs=(env_axis, P(None, None, DATA_AXIS),
+                           P(None, None, DATA_AXIS), P(None, None, DATA_AXIS)),
+            )(key, h0, traj, returns, norm_adv)
 
         def epoch(carry, _):
             carry, metrics = jax.lax.scan(minibatch_update, carry, batched)

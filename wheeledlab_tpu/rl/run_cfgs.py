@@ -66,13 +66,15 @@ RSS_DRIFT_RNN_CONFIG = RunConfig(
 
 # Pod-scale actor-learner (BASELINE.json configs[5]): 64k envs sharded over
 # all chips/hosts on the data mesh feeding the GSPMD-replicated learner.
-# Same train_iteration as single-chip — launch with
-# parallel.distributed.initialize() + shard_train_state on the global mesh
-# (scripts/scale_bench.py shows the pattern).
+# `distributed="on"` makes the harness build the global mesh + shard the
+# TrainState itself, so ONE command launches it (reference parity:
+# train_rl.py:33-116 runs any named config):
+#     python -m wheeledlab_tpu.cli.train -r POD_DRIFT_CONFIG
+# (one process per host on a pod slice; each host runs the same command).
 POD_DRIFT_CONFIG = RunConfig(
     task_name="MushrDriftRL-v0",
     num_envs=65536,
-    train=TrainCfg(num_iterations=5000, log=LogCfg()),
+    train=TrainCfg(num_iterations=5000, distributed="on", log=LogCfg()),
     agent=DRIFT_PPO,
 )
 

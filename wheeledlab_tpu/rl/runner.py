@@ -54,6 +54,16 @@ class TrainCfg:
     num_iterations: int = 5000
     load_run: Optional[str] = None
     load_run_checkpoint: int = 0
+    distributed: str = "auto"        # "auto" | "on" | "off": shard the env
+                                     # batch over a data mesh of every chip in
+                                     # the job (parallel/mesh.py). "auto" = on
+                                     # iff launched as a multi-process
+                                     # jax.distributed job; "on" also shards
+                                     # single-process multi-device (pod-slice
+                                     # or CPU-mesh runs). POD_DRIFT_CONFIG
+                                     # sets "on" (reference parity target:
+                                     # one CLI command runs any named config,
+                                     # train_rl.py:33-116)
     profile: bool = False            # capture a jax.profiler device trace of
                                      # iterations 10-12 into <run_dir>/trace
     fast_prng: bool = True           # TPU-accelerated rbg PRNG (utils/rng.py);
@@ -154,10 +164,45 @@ def restore_checkpoint(mgr, step: int, target: TrainState) -> TrainState:
     return mgr.restore(step, args=ocp.args.StandardRestore(target))
 
 
+def _resolve_mesh(run_cfg: RunConfig):
+    """Build the global data mesh when distributed training is requested —
+    the seam that makes `python -m wheeledlab_tpu.cli.train -r
+    POD_DRIFT_CONFIG` just work (reference train_rl.py:33-116: one command
+    runs any named config; the pod config is this framework's new-capability
+    config, BASELINE.json configs[5])."""
+    mode = run_cfg.train.distributed
+    if mode not in ("auto", "on", "off"):
+        raise ValueError(f"train.distributed must be auto|on|off, got {mode!r}")
+    if mode == "off":
+        return None
+    from ..parallel import distributed
+
+    if mode == "on":
+        # no-op when already initialized or single-process
+        distributed.initialize()
+    elif jax.process_count() == 1:
+        # "auto": shard only when launched as a multi-process job (the
+        # launcher has already called distributed.initialize); single-process
+        # single-chip runs stay mesh-free
+        return None
+    mesh = distributed.global_mesh()
+    n_dev = mesh.devices.size
+    if n_dev == 1:
+        return None
+    if run_cfg.num_envs % n_dev:
+        raise ValueError(
+            f"num_envs={run_cfg.num_envs} not divisible by the "
+            f"{n_dev}-device data mesh")
+    return mesh
+
+
 def train(run_cfg: RunConfig, env=None, max_iterations: Optional[int] = None,
           verbose: bool = True):
     """Assemble env + learner and run the training loop
-    (reference train_rl.py:34-124 equivalent)."""
+    (reference train_rl.py:34-124 equivalent). When
+    `train.distributed` resolves to a multi-device mesh, the TrainState is
+    sharded over it (env batch on `data`, params replicated — GSPMD inserts
+    the gradient psum over ICI) and host-side IO runs on process 0 only."""
     from ..tasks import make_env  # late import to avoid cycles
 
     if run_cfg.train.fast_prng:
@@ -167,39 +212,99 @@ def train(run_cfg: RunConfig, env=None, max_iterations: Optional[int] = None,
         from ..utils.cache import enable_compilation_cache
         enable_compilation_cache()
 
+    mesh = _resolve_mesh(run_cfg)
+    is_main = jax.process_index() == 0
+
     if env is None:
         env = make_env(run_cfg.task_name, num_envs=run_cfg.num_envs,
                        overrides=run_cfg.env_overrides)
 
-    init_fn, train_iteration, policy_apply = make_learner(env, run_cfg.agent)
+    init_fn, train_iteration, policy_apply = make_learner(
+        env, run_cfg.agent, mesh=mesh)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        repl = NamedSharding(mesh, PartitionSpec())
+        base_iteration = train_iteration
+
+        def train_iteration(state):
+            state, metrics = base_iteration(state)
+            # replicate every metric (incl. the small [T, 8, ...] traj/*
+            # captures) so EVERY host can device_get them — scalars already
+            # are, and without this the video captures can land sharded and
+            # be non-addressable in a multi-process job
+            metrics = jax.tree_util.tree_map(
+                lambda x: jax.lax.with_sharding_constraint(x, repl), metrics)
+            return state, metrics
+
     init_jit = jax.jit(init_fn)
     iter_jit = jax.jit(train_iteration, donate_argnums=(0,))
 
     log_cfg = run_cfg.train.log
     run_name = log_cfg.run_name or f"run-{int(time.time())}"
+    if mesh is not None and jax.process_count() > 1 and not log_cfg.run_name:
+        # all hosts must agree on the run dir (shared filesystem; ckpt saves
+        # are coordinated) — broadcast process 0's timestamped name
+        from jax.experimental import multihost_utils
+        import jax.numpy as jnp
+
+        t = int(multihost_utils.broadcast_one_to_all(
+            jnp.int32(int(time.time()) % (2**31 - 1))))
+        run_name = f"run-{t}"
     run_dir = os.path.join(log_cfg.logs_dir, run_name)
-    logger = MetricLogger(log_cfg, run_dir,
+    # metrics/videos/stdout are process-0-only; checkpoint saves are
+    # collective (every host writes its shards via orbax)
+    logger_cfg = log_cfg if is_main else log_cfg.replace(no_log=True)
+    logger = MetricLogger(logger_cfg, run_dir,
                           {"run": to_dict(run_cfg), "task": run_cfg.task_name})
+    verbose = verbose and is_main
     ckpt_mgr = None
     if not (log_cfg.no_checkpoints or log_cfg.test_mode or log_cfg.no_log):
         ckpt_mgr = _checkpoint_manager(run_dir)
 
     state = init_jit(jax.random.PRNGKey(run_cfg.train.seed))
+    if mesh is not None:
+        from ..parallel.mesh import shard_train_state
+
+        state = shard_train_state(state, mesh, run_cfg.num_envs)
     if run_cfg.train.load_run:
         prev_dir = os.path.join(log_cfg.logs_dir, run_cfg.train.load_run)
         prev_mgr = _checkpoint_manager(prev_dir)
+        # restoring into the (possibly sharded) template keeps placements
         state = restore_checkpoint(prev_mgr, run_cfg.train.load_run_checkpoint,
                                    state)
 
     n_iter = max_iterations or run_cfg.train.num_iterations
     steps_per_iter = run_cfg.agent.num_steps_per_env * env.num_envs
     t0 = time.time()
-    last_metrics: Dict[str, float] = {}
     # wall-clock attribution per phase (reference tracked collection/learn
     # splits, modified_rsl_rl_runner.py:111-120; here rollout+update fuse
     # into one XLA program, so the split is iterate / video / checkpoint)
     from ..utils.profiling import PhaseTimer
     timer = PhaseTimer()
+    import contextlib
+
+    mesh_ctx = (jax.sharding.set_mesh(mesh) if mesh is not None
+                else contextlib.nullcontext())
+    with mesh_ctx:
+        state, last_metrics = _train_loop(
+            run_cfg, env, state, iter_jit, logger, ckpt_mgr, timer, n_iter,
+            steps_per_iter, t0, run_dir, verbose)
+    if ckpt_mgr is not None:
+        final_step = int(jax.device_get(state.iteration))
+        if ckpt_mgr.latest_step() != final_step:
+            save_checkpoint(ckpt_mgr, final_step, state)
+        ckpt_mgr.wait_until_finished()
+    logger.close()
+    return state, last_metrics
+
+
+def _train_loop(run_cfg, env, state, iter_jit, logger, ckpt_mgr, timer,
+                n_iter, steps_per_iter, t0, run_dir, verbose):
+    """The per-iteration Python loop (dispatch + host-side IO), factored out
+    of train() so the whole loop runs under the mesh context when sharded."""
+    log_cfg = run_cfg.train.log
+    last_metrics: Dict[str, float] = {}
     for it in range(int(state.iteration), n_iter):
         if run_cfg.train.profile and it == 10:
             jax.profiler.start_trace(os.path.join(run_dir, "trace"))
@@ -261,10 +366,4 @@ def train(run_cfg: RunConfig, env=None, max_iterations: Optional[int] = None,
         if ckpt_mgr is not None and (it + 1) % log_cfg.checkpoint_every == 0:
             with timer.phase("checkpoint"):
                 save_checkpoint(ckpt_mgr, it + 1, state)
-    if ckpt_mgr is not None:
-        final_step = int(jax.device_get(state.iteration))
-        if ckpt_mgr.latest_step() != final_step:
-            save_checkpoint(ckpt_mgr, final_step, state)
-        ckpt_mgr.wait_until_finished()
-    logger.close()
     return state, last_metrics
