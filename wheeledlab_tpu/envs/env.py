@@ -138,11 +138,21 @@ class TaskModel(NamedTuple):
     render_grid: Optional[Tuple[Any, float]] = None
     # ^ (grid2d np.ndarray, cell_m): top-down background for video rendering
     # (elevation heightfield / visual traversability map); None -> oval track.
+    fused_step: Optional[Callable] = None
+    # ^ optional whole-control-step Pallas fast path:
+    # (env, EnvState, action) -> (EnvState, StepOutput), semantics identical
+    # to the generic step below. Used when the Pallas backend is active
+    # (tasks/drift/fused.py — physics + epilogue in one kernel).
 
 
 class EnvState(struct.PyTreeNode):
     vehicle: VehicleState
     params: VehicleParams
+    packed_params: Optional[jax.Array]  # (NUM_PARAM, B) row-matrix cache for
+    # the Pallas physics path. Params are fixed after reset (startup DR only,
+    # like the reference's startup events), so packing them once here instead
+    # of every control step removes a (45, B) broadcast+concatenate from the
+    # hot loop (~1 ms per 128-step rollout at 16k envs). None on the XLA path.
     key: jax.Array
     step_count: jax.Array          # [B] int32
     common_step: jax.Array         # [] int32 (global, like common_step_counter)
@@ -189,6 +199,9 @@ class WheeledEnv:
                 task.terrain.is_flat
                 and task.cfg.num_envs % 128 == 0
                 and jax.default_backend() not in ("cpu", "gpu"))
+        # tests set this True (with use_pallas="on") to run the Pallas
+        # kernels in interpreter mode on CPU
+        self._pallas_interpret = False
 
     # ------------------------------------------------------------------ reset
 
@@ -200,9 +213,15 @@ class WheeledEnv:
         vehicle = task.sample_spawn(k_spawn, n)
         command = self._sample_command(k_cmd, n)
         push_timers = self._init_push_timers(k_push, n)
+        packed_params = None
+        if self._use_pallas:
+            from ..sim.soa import pack_params
+
+            packed_params = pack_params(params, task.terrain.friction)
         state = EnvState(
             vehicle=vehicle,
             params=params,
+            packed_params=packed_params,
             key=k_state,
             step_count=jnp.zeros((n,), jnp.int32),
             common_step=jnp.zeros((), jnp.int32),
@@ -223,6 +242,10 @@ class WheeledEnv:
 
     def step(self, state: EnvState, action: jax.Array) -> Tuple[EnvState, StepOutput]:
         task, cfg = self.task, self.cfg
+        if self._use_pallas and task.fused_step is not None:
+            # whole-step fused kernel (physics + rewards/terminations/reset/
+            # obs in one pallas_call) — same semantics as the path below
+            return task.fused_step(self, state, action)
         n = self.num_envs
         key, k_push, k_spawn, k_obs, k_cmd, k_cmd2 = jax.random.split(state.key, 6)
 
@@ -236,12 +259,12 @@ class WheeledEnv:
         # in VMEM across substeps) or the general vmapped XLA path.
         if self._use_pallas:
             from ..ops.pallas_substep import pallas_step
-            from ..sim.soa import pack_params, pack_state, unpack_state
+            from ..sim.soa import pack_state, unpack_state
 
             packed = pallas_step(
-                pack_state(state.vehicle),
-                pack_params(state.params, task.terrain.friction),
-                steer_t.T, wheel_t.T, cfg.sim_dt, cfg.decimation)
+                pack_state(state.vehicle), state.packed_params,
+                steer_t.T, wheel_t.T, cfg.sim_dt, cfg.decimation,
+                interpret=self._pallas_interpret)
             vehicle, aux = unpack_state(packed), None
         else:
             vehicle, aux = jax.vmap(
@@ -308,7 +331,8 @@ class WheeledEnv:
                                                   common_step)
 
         new_state = EnvState(
-            vehicle=vehicle, params=state.params, key=key,
+            vehicle=vehicle, params=state.params,
+            packed_params=state.packed_params, key=key,
             step_count=step_count, common_step=common_step,
             reward_weights=reward_weights, last_action=last_action,
             command=command, command_timer=command_timer,

@@ -45,13 +45,20 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def shard_batched_pytree(tree, mesh: Mesh, batch_size: int):
     """Place every leaf whose leading dim == batch_size on the data axis;
-    replicate everything else (scalars, global counters, params tables)."""
+    leaves whose TRAILING dim is the batch (lane-major row matrices like the
+    packed (NUM_PARAM, B) params cache or (n_push, B) push timers) shard
+    that axis instead; everything else (scalars, global counters) replicates."""
     data = batch_sharding(mesh)
     repl = replicated(mesh)
 
     def place(x):
-        if hasattr(x, "shape") and x.ndim >= 1 and x.shape[0] == batch_size:
+        if not hasattr(x, "shape") or x.ndim < 1:
+            return jax.device_put(x, repl)
+        if x.shape[0] == batch_size:
             return jax.device_put(x, data)
+        if x.ndim >= 2 and x.shape[-1] == batch_size:
+            spec = P(*([None] * (x.ndim - 1)), DATA_AXIS)
+            return jax.device_put(x, NamedSharding(mesh, spec))
         return jax.device_put(x, repl)
 
     return jax.tree_util.tree_map(place, tree)

@@ -35,6 +35,26 @@ def atan_approx(x: jax.Array) -> jax.Array:
     return jnp.sign(x) * r
 
 
+def atan2_approx(y: jax.Array, x: jax.Array) -> jax.Array:
+    """Quadrant-corrected atan2 built on `atan_approx` (max err ~0.0038 rad).
+    Used by the fused drift epilogue kernel (tasks/drift/fused.py) — Mosaic
+    has no atan2 lowering either; sharing the approximation keeps the fused
+    and XLA task paths statistically aligned."""
+    safe_x = jnp.where(jnp.abs(x) < 1e-30, 1e-30, x)
+    base = atan_approx(y / safe_x)
+    return jnp.where(
+        x > 0.0, base,
+        jnp.where(x < 0.0,
+                  base + jnp.where(y >= 0.0, jnp.pi, -jnp.pi),
+                  jnp.sign(y) * (jnp.pi / 2)))
+
+
+def asin_approx(x: jax.Array) -> jax.Array:
+    """arcsin via atan2 (same approximation budget); input clipped to [-1, 1]."""
+    xc = jnp.clip(x, -1.0, 1.0)
+    return atan2_approx(xc, jnp.sqrt(jnp.maximum(1.0 - xc * xc, 0.0)))
+
+
 # State packing: rows of the (NUM_STATE, B) matrix
 POS = slice(0, 3)
 QUAT = slice(3, 7)

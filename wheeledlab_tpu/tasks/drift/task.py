@@ -345,6 +345,18 @@ def make_drift_task(cfg: DriftTaskCfg) -> TaskModel:
     def observe(ctx, key):
         return blind_obs(ctx, key, cfg.enable_corruption)
 
+    fused_step = None
+    if cfg.rewards_enabled:
+        # whole-control-step Pallas kernel (physics + epilogue fused) for
+        # the training variant; play variants (rewards stripped) use the
+        # generic path
+        import numpy as np
+
+        from .fused import make_fused_drift_step
+
+        fused_step = make_fused_drift_step(cfg, env_cfg,
+                                           np.asarray(ref_poses))
+
     return TaskModel(
         cfg=env_cfg,
         terrain=terrain,
@@ -357,6 +369,7 @@ def make_drift_task(cfg: DriftTaskCfg) -> TaskModel:
         curriculum=curriculum,
         pushes=pushes,
         metric_fns={"slip_deg": slip_deg, "speed": ground_speed},
+        fused_step=fused_step,
     )
 
 
