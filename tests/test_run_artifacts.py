@@ -141,24 +141,66 @@ class TestElevationArtifact:
         assert height[-10:].mean() > 0.6, height[-10:].mean()
 
     def test_elevation_goal_seeking(self):
-        """Goal-seeking trend bar (VERDICT r2 item 5). The MDP analysis in
-        the class docstring still holds — climbing dominates — but the
-        goal channels must show actual goal-directed behavior, not noise:
-        goal distance trends DOWN, the goal-velocity reward (the channel
-        the policy is actually paid through, weight 200-225) rises
-        materially, and the per-step goal-reach termination rate sits in
-        the measured trained band (1.3-1.6% of env-steps; an untrained
-        policy wanders at ~1.1% and a degenerate one at ~0)."""
+        """Goal-seeking bars calibrated to what the reference MDP actually
+        incentivizes (docs/runs/rss_elev_tpu/goal_analysis.md, VERDICT r3
+        #7): at_goal carries NO bonus and ending an episode forfeits the
+        dominant climbing reward, so trained policies reach goals at a
+        random-policy rate (play evidence below). The channels the MDP DOES
+        pay for must move: the goal-velocity reward rises materially, goal
+        distance trends down, and the goal-termination rate stays in the
+        measured 0.4-2% band (a degenerate policy pins it to ~0)."""
         rows, _ = load_run("rss_elev_tpu")
         goal_dist = series(rows, "metrics/goal_dist")
         at_goal = series(rows, "done/at_goal")
         vel_goal = series(rows, "rew/vel_towards_goal")
         assert goal_dist[-10:].mean() < goal_dist[:3].mean(), \
             (goal_dist[:3].mean(), goal_dist[-10:].mean())
-        # measured: 100.3 -> 115.5 (+15%) over the run
+        # measured: 100.2 -> 115.2 (+15%) over the run
         assert vel_goal[-10:].mean() > 1.1 * vel_goal[:3].mean(), \
             (vel_goal[:3].mean(), vel_goal[-10:].mean())
-        assert at_goal[-10:].mean() > 0.010, at_goal[-10:].mean()
+        assert 0.004 < at_goal[-10:].mean() < 0.02, at_goal[-10:].mean()
+
+    def test_elevation_play_metrics_committed(self):
+        """The committed playback evidence (cli.play play_metrics.json):
+        the trained policy moves at real speed; its goal-reach fraction is
+        documented as chance-level — the honest number the analysis
+        artifact is built on."""
+        path = os.path.join(RUNS_DIR, "rss_elev_tpu", "play_metrics.json")
+        if not os.path.exists(path):
+            pytest.skip("no committed elevation play metrics")
+        m = json.load(open(path))
+        assert m["speed_mean"] > 1.0
+        assert 0.0 <= m["goal_reach_frac"] < 0.10
+
+
+class TestElevationGoalArtifact:
+    """ELEV_GOAL_CONFIG — the beyond-reference goal-seeking variant: same
+    task, reweighted so goal contact is actually paid (goal_weight 1000,
+    height_weight 500, at_goal_bonus 20000; rationale in
+    docs/runs/rss_elev_tpu/goal_analysis.md). This artifact is the
+    framework's goal-REACHING capability evidence; the reference-parity
+    config keeps the reference's climbing-dominant weights."""
+
+    def test_goal_variant_reaches_goals(self):
+        rows, result = load_run("rss_elev_goal_tpu")
+        at_goal = series(rows, "done/at_goal")
+        goal_dist = series(rows, "metrics/goal_dist")
+        # goal-reach terminations rise from the ~1% incidental band to a
+        # dominant episode outcome, and distance-to-goal drops materially
+        assert at_goal[-10:].mean() > 0.15, at_goal[-10:].mean()
+        assert at_goal[-10:].mean() > 3.0 * max(at_goal[:3].mean(), 1e-3)
+        assert goal_dist[-10:].mean() < 0.8 * goal_dist[:3].mean(), \
+            (goal_dist[:3].mean(), goal_dist[-10:].mean())
+
+    def test_goal_variant_play_reaches_goals(self):
+        """Playback: the goal-trained policy reaches goals at MANY times
+        the random/reference-trained rate (both measured at 1.6%)."""
+        path = os.path.join(RUNS_DIR, "rss_elev_goal_tpu",
+                            "play_metrics.json")
+        if not os.path.exists(path):
+            pytest.skip("no committed goal-variant play metrics")
+        m = json.load(open(path))
+        assert m["goal_reach_frac"] > 0.20, m
 
 
 class TestScalingArtifact:

@@ -151,3 +151,20 @@ class TestTaskCfgOverridability:
                 assert abs(got - v) < 1e-12, (f.name, got, v)
             else:
                 assert got == v, (f.name, got, v)
+
+
+class TestCompilationCacheMode:
+    def test_resolve_cache_mode(self, monkeypatch):
+        """"auto" = on for local hosts, off over the axon remote tunnel
+        (VERDICT r3 #4: cache on by default where it wins)."""
+        from wheeledlab_tpu.utils.cache import resolve_cache_mode
+
+        monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "10.0.0.1")
+        assert resolve_cache_mode("auto") is False      # tunnel detected
+        monkeypatch.delenv("PALLAS_AXON_POOL_IPS")
+        assert resolve_cache_mode("auto") is True       # local host
+        assert resolve_cache_mode("on") is True
+        assert resolve_cache_mode("off") is False
+        assert resolve_cache_mode("False") is False     # CLI override string
+        assert resolve_cache_mode(True) is True
+        assert resolve_cache_mode(False) is False

@@ -143,6 +143,9 @@ class TaskModel(NamedTuple):
     # (env, EnvState, action) -> (EnvState, StepOutput), semantics identical
     # to the generic step below. Used when the Pallas backend is active
     # (tasks/drift/fused.py — physics + epilogue in one kernel).
+    colormap: Optional[Any] = None
+    # ^ visual task's world ColorMap (tasks/visual/camera.py) — exposed for
+    # playback tools and the world-side color-DR tests.
 
 
 class EnvState(struct.PyTreeNode):

@@ -41,9 +41,30 @@ from .networks import (
 )
 
 
-class _MemoryStep(nn.Module):
-    """One LSTM time step over `num_layers` stacked cells with done-masked
-    carry reset (reset=1 zeroes the carry entering this step)."""
+class _DualMemoryStep(nn.Module):
+    """One time step of BOTH the actor and critic LSTM chains with
+    done-masked carry reset (reset=1 zeroes the carry entering this step).
+
+    BPTT-speed engineering (all measured on v5e, 1024 envs; r3 baseline
+    132.5 ms/iteration, now 93 ms):
+
+    - **One scan for both chains** instead of two T-length scans
+      back-to-back: the recurrences are independent, so XLA schedules both
+      cells' matmuls inside one loop iteration (112 ms).
+    - **bf16 cell computation** (`dtype=bfloat16`, f32 params): the gate
+      matmuls AND the sigmoid/tanh elementwise — which dominate the per-step
+      cost at this size — run at 2x VPU/MXU rate (93 ms).
+    - **unroll=8** on the time scan; higher unroll measured SLOWER
+      (139/155 ms at 16/32).
+    - Measured NEGATIVE result: hoisting the x-side input projections out
+      of the recurrence (the classic cuDNN LSTM split) ran 136 ms — with a
+      14-wide obs the hoisted matmul saves nothing, and the materialized
+      (T, B, 4H) pre-activations cost an HBM round-trip per pass. The
+      remaining ~2x would need a hand-written Pallas LSTM kernel with a
+      custom VJP (weights VMEM-resident across the whole window); not taken
+      this round — the per-iteration floor is the 2 x T x epochs x
+      minibatches sequential gate chain, which no XLA-level restructuring
+      removes."""
 
     hidden_size: int
     num_layers: int
@@ -52,22 +73,32 @@ class _MemoryStep(nn.Module):
     def __call__(self, carry, inp):
         x, reset = inp
         mask = (1.0 - reset)[..., None]
-        new_carry = []
-        h = x
+        new_a, new_c = [], []
+        ha = x
+        hc = x
         for i in range(self.num_layers):
-            c = jax.tree.map(lambda t: t * mask, carry[i])
-            c, h = nn.OptimizedLSTMCell(self.hidden_size, name=f"lstm{i}")(c, h)
-            new_carry.append(c)
-        return tuple(new_carry), h
+            ca = jax.tree.map(lambda t: t * mask, carry["actor"][i])
+            ca, ha = nn.OptimizedLSTMCell(
+                self.hidden_size, dtype=jnp.bfloat16,
+                name=f"lstm_a{i}")(ca, ha)
+            new_a.append(ca)
+            cc = jax.tree.map(lambda t: t * mask, carry["critic"][i])
+            cc, hc = nn.OptimizedLSTMCell(
+                self.hidden_size, dtype=jnp.bfloat16,
+                name=f"lstm_c{i}")(cc, hc)
+            new_c.append(cc)
+        return ({"actor": tuple(new_a), "critic": tuple(new_c)},
+                (ha.astype(jnp.float32), hc.astype(jnp.float32)))
 
 
 # Scan the step over the leading time axis; params broadcast across steps.
 _Memory = nn.scan(
-    _MemoryStep,
+    _DualMemoryStep,
     variable_broadcast="params",
     split_rngs={"params": False},
     in_axes=0,
     out_axes=0,
+    unroll=8,
 )
 
 
@@ -90,10 +121,10 @@ class ActorCriticRecurrent(nn.Module):
 
     @nn.compact
     def __call__(self, hidden, obs_seq, reset_seq):
-        mem = lambda name: _Memory(self.rnn_hidden_size, self.rnn_num_layers,
-                                   name=name)
-        ha, xa = mem("memory_a")(hidden["actor"], (obs_seq, reset_seq))
-        hc, xc = mem("memory_c")(hidden["critic"], (obs_seq, reset_seq))
+        hidden, (xa, xc) = _Memory(
+            self.rnn_hidden_size, self.rnn_num_layers,
+            name="memory")(hidden, (obs_seq, reset_seq))
+        ha, hc = hidden["actor"], hidden["critic"]
         mean = MLP(self.actor_hidden, self.action_dim, self.activation,
                    name="actor")(xa)
         value = MLP(self.critic_hidden, 1, self.activation,

@@ -68,9 +68,11 @@ class TrainCfg:
                                      # iterations 10-12 into <run_dir>/trace
     fast_prng: bool = True           # TPU-accelerated rbg PRNG (utils/rng.py);
                                      # no-op on cpu/gpu so goldens stay stable
-    compilation_cache: bool = False  # persistent XLA cache (utils/cache.py);
-                                     # helps on local TPU hosts, hurts over
-                                     # remote-tunnel backends (see cache.py)
+    compilation_cache: str = "auto"  # persistent XLA cache (utils/cache.py):
+                                     # "auto" = ON except over the axon
+                                     # remote-tunnel backend (measured net
+                                     # loss there — cache.py docstring);
+                                     # "on"/"off" force it
     target_return: Optional[float] = None
     # ^ early stop once episode/return reaches this at a log point — the
     # train-to-return benchmark knob (BASELINE.json "RSS_DRIFT to reference
@@ -208,7 +210,9 @@ def train(run_cfg: RunConfig, env=None, max_iterations: Optional[int] = None,
     if run_cfg.train.fast_prng:
         from ..utils.rng import enable_fast_prng
         enable_fast_prng()  # must precede PRNGKey creation below
-    if run_cfg.train.compilation_cache:
+    from ..utils.cache import resolve_cache_mode
+
+    if resolve_cache_mode(run_cfg.train.compilation_cache):
         from ..utils.cache import enable_compilation_cache
         enable_compilation_cache()
 

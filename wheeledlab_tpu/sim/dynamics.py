@@ -127,7 +127,13 @@ def substep(state: VehicleState, params: VehicleParams, terrain: Heightfield,
 
     # --- normal (suspension) force ---
     pen_rate = -jnp.einsum("wa,wa->w", v_contact, normals)
-    fz = params.susp_stiffness * penetration + params.susp_damping * pen_rate
+    # spring + damper + suspension-joint dry friction (reference hound.py:32:
+    # the prismatic suspension actuator carries friction 0.5 with zero
+    # damping); Coulomb term opposes suspension travel, tanh-smoothed
+    # (v_eps = 0.05 m/s) so the explicit integrator sees no discontinuity
+    fz = (params.susp_stiffness * penetration
+          + params.susp_damping * pen_rate
+          + params.susp_friction * jnp.tanh(pen_rate * 20.0))
     fz = jnp.where(in_contact, jnp.maximum(fz, 0.0), 0.0)
 
     # --- tire frame: heading of each wheel projected on the contact plane ---

@@ -104,7 +104,8 @@ P_TIRE_C = 41
 P_ROLL_RES = 42
 P_SUSP_K = 43
 P_SUSP_D = 44
-NUM_PARAM = 45
+P_SUSP_FRIC = 45
+NUM_PARAM = 46
 
 
 def pack_params(p: VehicleParams, ground_friction) -> jax.Array:
@@ -124,7 +125,7 @@ def pack_params(p: VehicleParams, ground_friction) -> jax.Array:
         rows4(p.drive_mask), row(p.wheel_inertia),
         rows4(p.tire_mu * ground_friction),
         row(p.tire_stiffness), row(p.tire_shape), row(p.rolling_resistance),
-        row(p.susp_stiffness), row(p.susp_damping),
+        row(p.susp_stiffness), row(p.susp_damping), row(p.susp_friction),
     ], axis=0)
 
 
@@ -194,6 +195,7 @@ def substep_soa(state: jax.Array, params: jax.Array,
     w_inertia = params[P_WHEEL_INERTIA]
     tire_b, tire_c = params[P_TIRE_B], params[P_TIRE_C]
     susp_k, susp_d = params[P_SUSP_K], params[P_SUSP_D]
+    susp_fric = params[P_SUSP_FRIC]
 
     for w in range(4):
         wpx = params[6 + 3 * w]
@@ -214,7 +216,12 @@ def substep_soa(state: jax.Array, params: jax.Array,
 
         penetration = radius - cwz
         in_contact = penetration > 0.0
-        fz = susp_k * penetration + susp_d * (-vcz)
+        # spring + damper + suspension-joint dry friction (hound.py:32:
+        # friction 0.5, damping 0 on the prismatic joint); the Coulomb term
+        # opposes suspension travel (pen_rate = -vcz), tanh-smoothed so the
+        # explicit integrator sees no force discontinuity at rest
+        fz = (susp_k * penetration + susp_d * (-vcz)
+              + susp_fric * jnp.tanh(-vcz * 20.0))
         fz = jnp.where(in_contact, jnp.maximum(fz, 0.0), 0.0)
 
         # tire frame: wheel heading projected on ground plane. Rear wheels

@@ -80,6 +80,10 @@ class VehicleParams(struct.PyTreeNode):
     # suspension joints, reference hound.py:24-34)
     susp_stiffness: jax.Array  # () N/m per wheel
     susp_damping: jax.Array    # () N*s/m per wheel
+    susp_friction: jax.Array   # () N dry (Coulomb) friction of the
+    # prismatic suspension joint (reference hound.py:32: friction=.5 with
+    # zero damping) — opposes suspension travel, smoothed tanh for the
+    # explicit integrator
 
 
 def suspension_for_mass(mass, omega_n: float = 70.0, zeta: float = 0.8):
@@ -134,6 +138,7 @@ def default_mushr_params() -> VehicleParams:
         rolling_resistance=f32(1e-4),
         susp_stiffness=f32(suspension_for_mass(m)[0]),
         susp_damping=f32(suspension_for_mass(m)[1]),
+        susp_friction=f32(0.5),   # hound.py:32
     )
 
 

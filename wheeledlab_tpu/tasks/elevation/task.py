@@ -59,6 +59,18 @@ class ElevationTaskCfg:
     terminations_enabled: bool = True  # Play strips terminations (:472-475)
     rewards_enabled: bool = True       # Play strips rewards + curriculum
     enable_corruption: bool = False  # reference ConcatObs disables corruption
+    # Reward weights. Defaults == the reference's ElevationRewardsCfg
+    # (mushr_elevation_env_cfg.py:283-305), under which climbing (5000)
+    # dominates goal progress (200) 25:1 and at_goal is a bare termination
+    # with NO bonus — measured consequence: trained policies climb, and
+    # episode-level goal reaching is statistically indistinguishable from a
+    # random policy (docs/runs/rss_elev_tpu/goal_analysis.md). The knobs
+    # exist so a goal-seeking variant (ELEV_GOAL_CONFIG) can actually pay
+    # for goal contact — beyond-reference capability evidence.
+    goal_weight: float = 200.0
+    height_weight: float = 5000.0
+    at_goal_bonus: float = 0.0   # weight on the at_goal termination flag
+    # (scaled by step_dt like every term; 0 == reference parity)
 
 
 # ---------------------------------------------------------------------------
@@ -252,12 +264,24 @@ def make_elevation_task(cfg: ElevationTaskCfg) -> TaskModel:
         return state.replace(pos=pos, quat=wmath.quat_from_yaw(yaw),
                              lin_vel=lin_vel)
 
+    def at_goal_bonus_term(ctx: StepCtx) -> jax.Array:
+        """is_terminated_term on 'at_goal' — the terminal goal bonus the
+        reference MDP lacks (goal_analysis.md); active only in the
+        goal-seeking variant (at_goal_bonus > 0)."""
+        if ctx.term_flags is None or "at_goal" not in ctx.term_flags:
+            return jnp.zeros(ctx.vehicle.pos.shape[0], jnp.float32)
+        return ctx.term_flags["at_goal"].astype(jnp.float32)
+
     reward_terms = (
-        RewardTerm("vel_towards_goal", 200.0, goal_progress_rate),
-        RewardTerm("height_z", 5000.0, higher_elevation),
+        RewardTerm("vel_towards_goal", cfg.goal_weight, goal_progress_rate),
+        RewardTerm("height_z", cfg.height_weight, higher_elevation),
         RewardTerm("falling_penalty", 0.0, is_falling_penalty),
         RewardTerm("termination_penalty", -200.0, stuck_term_penalty),
     ) if cfg.rewards_enabled else ()
+    if cfg.rewards_enabled and cfg.at_goal_bonus:
+        reward_terms = reward_terms + (
+            RewardTerm("at_goal_bonus", cfg.at_goal_bonus,
+                       at_goal_bonus_term),)
 
     curriculum = (
         CurriculumTerm("vel_towards_goal", 5.0, 50, 5),

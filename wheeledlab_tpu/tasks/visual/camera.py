@@ -36,6 +36,9 @@ class ColorMap(struct.PyTreeNode):
     cell: jax.Array       # () spacing (0.5 m)
     rows: int = struct.field(pytree_node=False, default=500)
     cols: int = struct.field(pytree_node=False, default=500)
+    grid_rgb: jax.Array = None   # optional (rows, cols, 3) true-RGB world
+    # colors (the reference world is an RGB-colored USD mesh; the default
+    # binary world renders identically through either path)
 
     @property
     def width(self) -> float:
@@ -54,6 +57,19 @@ class ColorMap(struct.PyTreeNode):
         col = jnp.clip(col, 0, self.cols - 1)
         row = jnp.clip(row, 0, self.rows - 1)
         return jnp.asarray(self.grid)[row, col]  # host const -> literal
+
+    def sample_rgb(self, xy: jax.Array) -> jax.Array:
+        """Nearest-cell RGB at world xy: (..., 2) -> (..., 3). Falls back to
+        replicating the grayscale grid when no RGB world was built."""
+        x, y = xy[..., 0], xy[..., 1]
+        col = jnp.floor((x + self.width / 2) / self.cell).astype(jnp.int32)
+        row = jnp.floor((y + self.height / 2) / self.cell).astype(jnp.int32)
+        col = jnp.clip(col, 0, self.cols - 1)
+        row = jnp.clip(row, 0, self.rows - 1)
+        if self.grid_rgb is None:
+            g = jnp.asarray(self.grid)[row, col]
+            return jnp.stack([g, g, g], axis=-1)
+        return jnp.asarray(self.grid_rgb)[row, col]
 
 
 class ColorMapAtlas(struct.PyTreeNode):
@@ -195,6 +211,43 @@ def render(colormap: ColorMap, pos: jax.Array, quat: jax.Array) -> jax.Array:
     if pos.ndim == 1:
         return one(cam_pos, quat)
     return jax.vmap(one)(cam_pos, quat)
+
+
+LUMA = np.array([0.299, 0.587, 0.114], np.float32)  # torchvision grayscale
+
+
+def render_rgb(colormap: ColorMap, pos: jax.Array, quat: jax.Array) -> jax.Array:
+    """True-RGB render (..., HEIGHT, WIDTH, 3) — the `camera_data_rgb`
+    sensor output (reference visual/mdp_sensors/observations.py:60-62); the
+    grayscale obs terms are derived from it via LUMA like torchvision's
+    rgb_to_grayscale. Uses the exact per-pixel sampler (no atlas fast path —
+    this is the parity surface, not the training hot path)."""
+    cam_pos = pos + wmath.quat_rotate(quat, jnp.broadcast_to(
+        CAM_OFFSET_B, pos.shape))
+
+    def one(cp, q):
+        d_world = wmath.quat_rotate(q[None, None, :], _RAYS)
+        dz = d_world[..., 2]
+        t = -cp[2] / jnp.where(dz < -1e-6, dz, -1e-6)
+        hit_xy = cp[None, None, :2] + t[..., None] * d_world[..., :2]
+        color = colormap.sample_rgb(hit_xy)
+        return jnp.where((dz < -1e-6)[..., None], color, 0.0)
+
+    if pos.ndim == 1:
+        return one(cam_pos, quat)
+    return jax.vmap(one)(cam_pos, quat)
+
+
+def camera_rgb_flattened(colormap: ColorMap, pos: jax.Array,
+                         quat: jax.Array) -> jax.Array:
+    """Non-augmented flattened camera obs through the TRUE RGB path —
+    `camera_data_rgb_flattened` parity (reference observations.py:64-73:
+    crop top third -> grayscale -> gray_normalize -> flatten)."""
+    crop = HEIGHT // 3
+    rgb = render_rgb(colormap, pos, quat)[..., crop:, :, :]
+    gray = rgb @ jnp.asarray(LUMA)
+    norm = (gray - 0.5) / 0.5
+    return norm.reshape(norm.shape[:-2] + (-1,))
 
 
 def render_depth(pos: jax.Array, quat: jax.Array) -> jax.Array:

@@ -66,6 +66,23 @@ class VisualTaskCfg:
                                      # on TPU); False: ColorMapAtlas render
                                      # (exact inside ~7.5 m, border-clamped
                                      # beyond — camera.py:ColorMapAtlas)
+    obs_variant: str = "aug_grayscale"
+    # ^ camera obs term: "aug_grayscale" == the registered reference task's
+    # camera_data_rgb_flattened_aug (crop, color-jitter+blur augment,
+    # grayscale, normalize, flatten — observations.py:75-87);
+    # "rgb_flattened" == camera_data_rgb_flattened (:64-73): the
+    # NON-augmented term through the true RGB render path
+    # (camera.py::render_rgb -> luma grayscale -> normalize -> flatten).
+    color_sampling: bool = False     # world-side color DR (reference
+                                     # color_sampler, visual/utils/
+                                     # __init__.py:35-49, gated by the
+                                     # color_sampling flag, default False at
+                                     # mushr_visual_env_cfg.py:110): the map
+                                     # colors themselves are sampled at world
+                                     # build — per-class gray levels like the
+                                     # reference, PLUS per-cell jitter so the
+                                     # corridors vary visually (beyond-
+                                     # reference extension, VERDICT r3 #6)
 
 
 # ---------------------------------------------------------------------------
@@ -106,11 +123,34 @@ def make_visual_task(cfg: VisualTaskCfg) -> TaskModel:
         env_size=(cfg.env_rows, cfg.env_cols),
         sub_group_size=(cfg.group_rows, cfg.group_cols),
         num_walkers=cfg.num_walkers)
+    grid_vals = np.asarray(trav_np, np.float32)
+    grid_rgb = None
+    if cfg.color_sampling:
+        # WORLD-side color randomization at build, keyed by the task seed:
+        # per-class RGB draw exactly like the reference's color_sampler
+        # (visual/utils/__init__.py:35-49: per-channel U(level-15,
+        # level+15)/255, black level 30, white 220), plus per-cell
+        # per-channel jitter of the same +-15/255 magnitude so the world
+        # itself varies like the reference's colored USD faces. The
+        # grayscale grid is the luma of the RGB world (torchvision
+        # rgb_to_grayscale weights), and its values stay strictly on either
+        # side of 0.5, so every traversability check (rewards/terminations/
+        # spawn sampling, `grid > 0.5`) is unchanged.
+        from .camera import LUMA
+
+        rng = np.random.default_rng(np.uint32(cfg.seed) * 7919 + 13)
+        black_rgb = rng.uniform(15.0, 45.0, 3) / 255.0
+        white_rgb = rng.uniform(205.0, 235.0, 3) / 255.0
+        jitter = rng.uniform(-15.0, 15.0, trav_np.shape + (3,)) / 255.0
+        grid_rgb = (np.where(trav_np[..., None], white_rgb, black_rgb)
+                    + jitter).astype(np.float32)
+        grid_vals = (grid_rgb @ LUMA).astype(np.float32)
     # host leaves: captured by jitted closures (see utils/host.py)
     colormap = ColorMap(
-        grid=np.asarray(trav_np, np.float32),
+        grid=grid_vals,
         cell=np.float32(cfg.cell),
-        rows=cfg.map_rows, cols=cfg.map_cols)
+        rows=cfg.map_rows, cols=cfg.map_cols,
+        grid_rgb=grid_rgb)
 
     # valid spawn cells (reference generate_random_poses,
     # visual/utils/__init__.py:190-205): any traversable cell.
@@ -177,14 +217,21 @@ def make_visual_task(cfg: VisualTaskCfg) -> TaskModel:
 
     def observe(ctx: StepCtx, key: jax.Array) -> jax.Array:
         v = ctx.vehicle
-        if cfg.exact_render:
-            imgs = render(colormap, v.pos, v.quat)[:, crop_top:, :]
-        else:
-            imgs = render_fast(atlas, v.pos, v.quat, crop_top=crop_top)
         k_aug, k_n = jax.random.split(key)
-        if cfg.enable_corruption:
-            imgs = augment_images(imgs, k_aug)       # (B, 40, 80)
-        cam = ((imgs - 0.5) / 0.5).reshape(imgs.shape[0], -1)  # (B, 3200)
+        if cfg.obs_variant == "rgb_flattened":
+            # camera_data_rgb_flattened (observations.py:64-73): the
+            # non-augmented obs through the true RGB render
+            from .camera import camera_rgb_flattened
+
+            cam = camera_rgb_flattened(colormap, v.pos, v.quat)
+        else:
+            if cfg.exact_render:
+                imgs = render(colormap, v.pos, v.quat)[:, crop_top:, :]
+            else:
+                imgs = render_fast(atlas, v.pos, v.quat, crop_top=crop_top)
+            if cfg.enable_corruption:
+                imgs = augment_images(imgs, k_aug)       # (B, 40, 80)
+            cam = ((imgs - 0.5) / 0.5).reshape(imgs.shape[0], -1)  # (B, 3200)
         lin = ctx.body_lin_vel
         ang = ctx.body_ang_vel
         act = jnp.clip(ctx.last_action, -1.0, 1.0)
@@ -222,6 +269,7 @@ def make_visual_task(cfg: VisualTaskCfg) -> TaskModel:
         metric_fns={"traversable_frac": traversable_frac,
                     "forward_vel": forward_vel_metric},
         render_grid=(np.asarray(trav_np, np.float32), float(cfg.cell)),
+        colormap=colormap,
     )
 
 

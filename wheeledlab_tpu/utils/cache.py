@@ -23,6 +23,22 @@ import os
 _ENABLED = False
 
 
+def resolve_cache_mode(mode) -> bool:
+    """TrainCfg.compilation_cache -> bool. "auto" (the default) enables the
+    cache except over the axon remote-tunnel backend, where loading the
+    serialized executables across the link is a measured net loss (module
+    docstring). CLI override strings ("on"/"off"/"true"/"false"/"auto") are
+    accepted."""
+    if isinstance(mode, str):
+        m = mode.lower()
+        if m == "auto":
+            # remote-tunnel detection: the axon device server advertises
+            # itself via this env var; a local TPU host never sets it
+            return os.environ.get("PALLAS_AXON_POOL_IPS") is None
+        return m in ("1", "true", "yes", "on")
+    return bool(mode)
+
+
 def enable_compilation_cache(path: str | None = None,
                              min_compile_secs: float = 1.0) -> str:
     """Idempotently point JAX at an on-disk compilation cache.
