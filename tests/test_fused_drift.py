@@ -89,6 +89,33 @@ class TestFusedDeterministicParity:
                 err_msg=k)
 
 
+class TestFusedF1Tenth:
+    def test_f1tenth_4wd_fused_matches_xla(self):
+        """The fused kernel's in-row 4WD action map (open-diff Ackermann
+        throttle, rc_car_actions.py:33-64) must match the generic path on
+        the F1Tenth variant."""
+        env_x, env_f = make_pair(robot="f1tenth", events_enabled=False,
+                                 enable_corruption=False)
+        sx, _ = jax.jit(env_x.reset)(jax.random.PRNGKey(2))
+        sf, _ = jax.jit(env_f.reset)(jax.random.PRNGKey(2))
+        step_x, step_f = jax.jit(env_x.step), jax.jit(env_f.step)
+        alive = np.ones((32,), bool)
+        for t in range(8):
+            a = jnp.stack([jnp.full((32,), 0.7),
+                           jnp.full((32,), 0.5 * np.sin(0.9 * t))], -1)
+            sx, outx = step_x(sx, a)
+            sf, outf = step_f(sf, a)
+            alive &= ~np.asarray(outx.done)
+            np.testing.assert_allclose(
+                np.asarray(sx.vehicle.pos)[alive],
+                np.asarray(sf.vehicle.pos)[alive], atol=1e-3,
+                err_msg=f"pos step {t}")
+            np.testing.assert_allclose(
+                np.asarray(sx.vehicle.wheel_omega)[alive],
+                np.asarray(sf.vehicle.wheel_omega)[alive], rtol=1e-2,
+                atol=0.5, err_msg=f"wheel step {t}")
+
+
 class TestFusedStatisticalParity:
     def test_random_rollout_statistics(self):
         """Full events + noise + resets: trajectory statistics must agree
