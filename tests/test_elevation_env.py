@@ -132,7 +132,7 @@ class TestTerms:
         vehicle = state.vehicle
         for k, v in over.items():
             vehicle = vehicle.replace(**{k: v})
-        state = state.replace(vehicle=vehicle)
+        state = state.with_vehicle(vehicle)
         return env._make_ctx(state, state.vehicle, None)
 
     def test_rollover_detects_flip(self, env8):
@@ -156,7 +156,7 @@ class TestTerms:
         state, _ = jax.jit(env8.reset)(jax.random.PRNGKey(0))
         vehicle = state.vehicle.replace(
             pos=state.vehicle.pos.at[:, :2].set(state.command[:, :2]))
-        ctx = env8._make_ctx(state.replace(vehicle=vehicle), vehicle, None)
+        ctx = env8._make_ctx(state.with_vehicle(vehicle), vehicle, None)
         assert bool(at_goal(ctx).all())
 
 

@@ -41,7 +41,7 @@ class TestRewardScaling:
         # give every env a pure yaw rate of 1 rad/s -> progress term value 1
         vehicle = state.vehicle.replace(
             ang_vel=jnp.tile(jnp.array([0.0, 0.0, 1.0]), (4, 1)))
-        state = state.replace(vehicle=vehicle)
+        state = state.with_vehicle(vehicle)
         new_state, out = jax.jit(env.step)(state, jnp.zeros((4, 2)))
         # contribution must equal weight * term_value(post-physics) * step_dt
         prog = np.asarray(out.info["rew/progress"])
@@ -57,7 +57,7 @@ class TestResetSemantics:
         state, _ = jax.jit(env.reset)(jax.random.PRNGKey(0))
         # force half the envs far off track -> termination this step
         bad_pos = state.vehicle.pos.at[:4, 0].set(50.0)
-        state = state.replace(vehicle=state.vehicle.replace(pos=bad_pos))
+        state = state.with_vehicle(state.vehicle.replace(pos=bad_pos))
         new_state, out = jax.jit(env.step)(state, jnp.zeros((8, 2)))
         done = np.asarray(out.done)
         assert done[:4].all() and not done[4:].any()

@@ -464,13 +464,17 @@ def make_fused_drift_step(task_cfg, env_cfg, ref_poses_np):
                    if cfg.enable_corruption
                    else jnp.zeros((OBS_ROWS, n), jnp.float32))
 
-        from ...sim.soa import pack_state, unpack_state
+        from ...sim.soa import pack_state
+        from ...sim.types import VehicleState
 
+        mem = (state.vehicle_mem
+               if not isinstance(state.vehicle_mem, VehicleState)
+               else pack_state(state.vehicle_mem))
         weights_pad = jnp.concatenate(
             [state.reward_weights,
              jnp.zeros((1,), jnp.float32)])[None]   # (1, 8) SMEM
         res = fused_drift_pallas(
-            weights_pad, jnp.asarray(poses), pack_state(state.vehicle),
+            weights_pad, jnp.asarray(poses), mem,
             state.packed_params, action.T, uniforms, normals,
             state.step_count[None], state.push_timers,
             state.ep_return[None], state.ep_len[None],
@@ -478,7 +482,6 @@ def make_fused_drift_step(task_cfg, env_cfg, ref_poses_np):
             interpret=getattr(env, "_pallas_interpret", False))
         (packed, obs_rows, out, step_count, timers, ep_return, ep_len) = res
 
-        vehicle = unpack_state(packed)
         obs = obs_rows.T
         reward = out[O_REWARD]
         done = out[O_DONE] > 0.5
@@ -496,7 +499,8 @@ def make_fused_drift_step(task_cfg, env_cfg, ref_poses_np):
         info["metrics/speed"] = out[O_SPEED]
 
         new_state = EnvState(
-            vehicle=vehicle, params=state.params,
+            vehicle_mem=packed,   # carry stays in the kernel's row layout
+            params=state.params,
             packed_params=state.packed_params, key=key,
             step_count=step_count[0], common_step=common_step,
             reward_weights=env._curriculum_weights(state.reward_weights,
