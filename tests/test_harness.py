@@ -21,7 +21,8 @@ class TestRunConfigs:
         # rsl_rl_ppo_cfg.py:7) that produced the committed docs/runs artifacts
         budgets = {"RSS_DRIFT_CONFIG": 5000, "RSS_ELEV_CONFIG": 4000,
                    "RSS_VISUAL_CONFIG": 4000, "F1TENTH_DRIFT_CONFIG": 1500,
-                   "RSS_DRIFT_RNN_CONFIG": 1500}
+                   "RSS_DRIFT_RNN_CONFIG": 1500, "ELEV_GOAL_CONFIG": 1500,
+                   "POD_DRIFT_CONFIG": 5000}
         for name, budget in budgets.items():
             cfg = RUN_CONFIGS.get(name)
             assert cfg.train.num_iterations == budget, name
