@@ -33,7 +33,6 @@ import sys
 import time
 
 import jax
-import jax.numpy as jnp
 
 MIN_WALL = 2.0      # seconds the timed window must span
 MAX_ITERS = 8192    # safety cap on the repeat count

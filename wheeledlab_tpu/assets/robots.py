@@ -11,9 +11,7 @@ in sim/dynamics.py."""
 
 from __future__ import annotations
 
-from typing import Tuple
 
-import jax.numpy as jnp
 import numpy as np
 
 from ..sim.actions import ActionMapCfg

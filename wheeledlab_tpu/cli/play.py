@@ -39,7 +39,6 @@ def main(argv=None):
     from ..rl.runner import _checkpoint_manager, restore_checkpoint
     from ..tasks import make_env
     from ..utils import math as wmath
-    from ..utils.config import apply_overrides
 
     run_dir = os.path.join(args.logs_dir, args.run)
     with open(os.path.join(run_dir, "run_config.json")) as f:

@@ -19,7 +19,7 @@ from typing import Any, Dict, Optional
 import jax
 import numpy as np
 
-from ..utils.config import RUN_CONFIGS, configclass, to_dict
+from ..utils.config import configclass, to_dict
 from .ppo import PPOCfg, TrainState, make_learner
 
 

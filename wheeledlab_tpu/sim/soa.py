@@ -15,8 +15,6 @@ with the decimation loop inside, the state lives in VMEM/registers for all
 
 from __future__ import annotations
 
-from typing import NamedTuple, Sequence
-
 import jax
 import jax.numpy as jnp
 

@@ -8,7 +8,6 @@ terminations, events, and curriculum reproduce the reference term formulas
 
 from __future__ import annotations
 
-import math as pymath
 from typing import Tuple
 
 import jax
@@ -18,7 +17,6 @@ from ...envs.env import (
     CurriculumTerm, EnvCfg, PushEvent, RewardTerm, StepCtx, TaskModel,
     WheeledEnv,
 )
-from ...sim.actions import ActionMapCfg
 from ...sim.terrain import Heightfield
 from ...assets import (
     F1TENTH_4WD_ACTION, F1TENTH_CFG, MUSHR_RWD_ACTION, MUSHR_SUS_2WD_CFG,

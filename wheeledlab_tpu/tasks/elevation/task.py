@@ -18,7 +18,6 @@ from ...envs.env import (
     CommandCfg, CurriculumTerm, EnvCfg, RewardTerm, StepCtx, TaskModel,
     WheeledEnv,
 )
-from ...sim.actions import ActionMapCfg
 from ...assets import MUSHR_4WD_ACTION, MUSHR_SUS_CFG
 from ...sim.types import VehicleState, batch_params, with_mass
 from ...utils import math as wmath

@@ -15,7 +15,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...envs.env import EnvCfg, RewardTerm, StepCtx, TaskModel, WheeledEnv
-from ...sim.actions import ActionMapCfg
 from ...sim.terrain import Heightfield
 from ...assets import MUSHR_4WD_ACTION, MUSHR_SUS_CFG
 from ...sim.types import VehicleState, batch_params, with_mass
