@@ -255,6 +255,16 @@ class TestScalingArtifact:
         # measured 199.8M at rollout=32)
         assert p["aggregate_env_steps_per_s"] > 1e8, p
 
+    def test_pod_config_one_chip_overload_point(self):
+        """POD_DRIFT_CONFIG (65k envs) trains on ONE chip — the overload
+        datapoint (real pod use gives each chip ~2k envs). Asserts the
+        9.9M env-steps/s full-PPO rate and that the recorded note
+        documents why the update dominates at this batch."""
+        p = self.load_point("tpu_1chip_pod_fullppo")
+        assert p["num_envs"] == 65536 and p["platform"] == "tpu"
+        assert p["env_steps_per_s"] > 5e6, p
+        assert "note" in p
+
     def test_sharded_full_ppo_point(self):
         """The full train iteration (shard-local minibatch shuffle) runs
         sharded on the 8-device mesh and is recorded — the end-to-end
