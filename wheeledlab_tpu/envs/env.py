@@ -293,10 +293,23 @@ class WheeledEnv:
             mem = (state.vehicle_mem
                    if not isinstance(state.vehicle_mem, VehicleState)
                    else pack_state(state.vehicle_mem))
-            packed = pallas_step(
-                mem, state.packed_params,
-                steer_t.T, wheel_t.T, cfg.sim_dt, cfg.decimation,
-                interpret=self._pallas_interpret)
+
+            def phys(m, p, st, wt):
+                return pallas_step(m, p, st, wt, cfg.sim_dt, cfg.decimation,
+                                   interpret=self._pallas_interpret)
+
+            from ..parallel.mesh import ambient_data_shards
+
+            if ambient_data_shards() > 1:
+                # data mesh active: shard-map the kernel over local env
+                # blocks (pallas_call has no GSPMD partitioning rule)
+                from jax.sharding import PartitionSpec as P
+
+                from ..parallel.mesh import DATA_AXIS
+                row = P(None, DATA_AXIS)
+                phys = jax.shard_map(phys, in_specs=(row,) * 4,
+                                     out_specs=row, check_vma=False)
+            packed = phys(mem, state.packed_params, steer_t.T, wheel_t.T)
             vehicle, aux = unpack_state(packed), None
         else:
             vehicle, aux = jax.vmap(

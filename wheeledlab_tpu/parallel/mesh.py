@@ -110,6 +110,20 @@ def shard_params_model_parallel(params, mesh: Mesh):
     return jax.tree_util.tree_map_with_path(place, params)
 
 
+def ambient_data_shards() -> int:
+    """Size of the ambient `data` mesh axis (1 when no mesh context).
+
+    A `pallas_call` has no GSPMD partitioning rule, so under a data mesh a
+    kernel invocation must be explicitly shard-mapped — each device runs it
+    on its local (rows, B/D) block (envs are independent, so the mapping is
+    communication-free). Used by envs/env.py and tasks/drift/fused.py."""
+    am = jax.sharding.get_abstract_mesh()
+    try:
+        return int(am.shape.get(DATA_AXIS, 1)) if am is not None else 1
+    except Exception:
+        return 1
+
+
 def constrain_batch(x, mesh: Mesh):
     """with_sharding_constraint on the leading env axis — used inside jitted
     code to pin intermediate layouts."""

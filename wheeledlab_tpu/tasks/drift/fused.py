@@ -473,13 +473,30 @@ def make_fused_drift_step(task_cfg, env_cfg, ref_poses_np):
         weights_pad = jnp.concatenate(
             [state.reward_weights,
              jnp.zeros((1,), jnp.float32)])[None]   # (1, 8) SMEM
-        res = fused_drift_pallas(
+        interp = getattr(env, "_pallas_interpret", False)
+
+        def call(w, po, *rows):
+            return fused_drift_pallas(w, po, *rows, cfg=cfg, n_push=n_push,
+                                      interpret=interp)
+
+        from ...parallel.mesh import ambient_data_shards
+
+        if ambient_data_shards() > 1:
+            # data mesh active: shard-map the kernel so each device runs it
+            # on its local env block (pallas_call has no GSPMD rule)
+            from jax.sharding import PartitionSpec as P
+            from ...parallel.mesh import DATA_AXIS
+
+            row = P(None, DATA_AXIS)
+            # check_vma=False: pallas_call's ShapeDtypeStructs carry no
+            # varying-mesh-axes annotation
+            call = jax.shard_map(call, in_specs=(P(), P()) + (row,) * 9,
+                                 out_specs=(row,) * 7, check_vma=False)
+        res = call(
             weights_pad, jnp.asarray(poses), mem,
             state.packed_params, action.T, uniforms, normals,
             state.step_count[None], state.push_timers,
-            state.ep_return[None], state.ep_len[None],
-            cfg=cfg, n_push=n_push,
-            interpret=getattr(env, "_pallas_interpret", False))
+            state.ep_return[None], state.ep_len[None])
         (packed, obs_rows, out, step_count, timers, ep_return, ep_len) = res
 
         obs = obs_rows.T
