@@ -169,3 +169,18 @@ class TestPlayCLI:
 if __name__ == "__main__":
     import sys
     sys.exit(pytest.main([__file__, "-x", "-q"]))
+
+
+class TestDistributedFlag:
+    def test_distributed_flag_shards_any_config(self, tmp_path):
+        """`--distributed` turns the data mesh on for ANY named config (the
+        harness equivalent of POD_DRIFT_CONFIG's built-in switch)."""
+        import json
+
+        from wheeledlab_tpu.cli.train import main
+
+        main(tiny_args(tmp_path, "dist", "--distributed",
+                       "train.log.no_checkpoints=True"))
+        saved = json.load(open(tmp_path / "dist" / "run_config.json"))
+        assert saved["run"]["train"]["distributed"] == "on"
+        assert (tmp_path / "dist" / "metrics.jsonl").exists()

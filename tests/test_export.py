@@ -109,3 +109,24 @@ class TestExport:
 if __name__ == "__main__":
     import sys
     sys.exit(pytest.main([__file__, "-x", "-q"]))
+
+
+class TestRecurrentExport:
+    def test_recurrent_npz_export(self, tmp_path):
+        """Recurrent runs export the full param pytree as npz (the .pt
+        format targets rsl_rl's MLP ActorCritic only — cli/export.py:94-100
+        falls back with a notice)."""
+        from wheeledlab_tpu.cli.export import main as export_main
+        from wheeledlab_tpu.cli.train import main as train_main
+
+        train_main(["-r", "RSS_DRIFT_RNN_CONFIG"] + TINY
+                   + ["agent.rnn_hidden_size=16",
+                      f"train.log.logs_dir={tmp_path}",
+                      "train.log.run_name=rexp"])
+        export_main(["--run", "rexp", "--logs-dir", str(tmp_path)])
+        exp_dir = tmp_path / "rexp" / "export"
+        npzs = [f for f in os.listdir(exp_dir) if f.endswith(".npz")]
+        assert npzs, os.listdir(exp_dir)
+        data = np.load(exp_dir / npzs[0])
+        # LSTM kernels present in the flattened pytree
+        assert any("memory" in k for k in data.files), data.files[:10]
