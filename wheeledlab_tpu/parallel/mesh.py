@@ -43,22 +43,37 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def _lane_major_row_counts():
+    """Leading-dim row counts of the known lane-major (rows, B) matrices:
+    the packed vehicle state / params caches plus small stacked per-event
+    rows ((n_push, B) push timers — at most a handful of events)."""
+    from ..sim.soa import NUM_PARAM, NUM_STATE
+
+    return {NUM_STATE, NUM_PARAM, 1, 2, 3, 4}
+
+
 def shard_batched_pytree(tree, mesh: Mesh, batch_size: int):
     """Place every leaf whose leading dim == batch_size on the data axis;
     leaves whose TRAILING dim is the batch (lane-major row matrices like the
     packed (NUM_PARAM, B) params cache or (n_push, B) push timers) shard
-    that axis instead; everything else (scalars, global counters) replicates."""
+    that axis instead; everything else (scalars, global counters) replicates.
+
+    Trailing-dim sharding is opt-in by leading-dim row count
+    (`_lane_major_row_counts`): a future non-batch 2D array whose last dim
+    coincidentally equals num_envs must not be silently mis-sharded."""
     data = batch_sharding(mesh)
     repl = replicated(mesh)
+    row_counts = _lane_major_row_counts()
 
     def place(x):
         if not hasattr(x, "shape") or x.ndim < 1:
             return jax.device_put(x, repl)
         if x.shape[0] == batch_size:
             return jax.device_put(x, data)
-        if x.ndim >= 2 and x.shape[-1] == batch_size:
-            spec = P(*([None] * (x.ndim - 1)), DATA_AXIS)
-            return jax.device_put(x, NamedSharding(mesh, spec))
+        if (x.ndim == 2 and x.shape[-1] == batch_size
+                and x.shape[0] in row_counts):
+            return jax.device_put(
+                x, NamedSharding(mesh, P(None, DATA_AXIS)))
         return jax.device_put(x, repl)
 
     return jax.tree_util.tree_map(place, tree)

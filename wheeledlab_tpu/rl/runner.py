@@ -319,8 +319,13 @@ def _train_loop(run_cfg, env, state, iter_jit, logger, ckpt_mgr, timer,
         traj_pos = metrics.pop("traj/pos", None)
         traj_yaw = metrics.pop("traj/yaw", None)
         traj_cmd = metrics.pop("traj/cmd", None)
-        if (log_cfg.video and not log_cfg.test_mode and traj_pos is not None
+        if (log_cfg.video and not log_cfg.test_mode and not logger.cfg.no_log
+                and traj_pos is not None
                 and (it + 1) % log_cfg.video_interval == 0):
+            # logger.cfg is the per-PROCESS cfg (train() sets no_log=True on
+            # non-main hosts): videos render + write on process 0 only, like
+            # every other IO — otherwise each host of a pod run would render
+            # and race-write the same videos/iter_N.avi.
             from ..render.topdown import render_task_frames, save_video
 
             vid_dir = os.path.join(run_dir, "videos")

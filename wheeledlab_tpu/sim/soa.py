@@ -38,7 +38,11 @@ def atan2_approx(y: jax.Array, x: jax.Array) -> jax.Array:
     Used by the fused drift epilogue kernel (tasks/drift/fused.py) — Mosaic
     has no atan2 lowering either; sharing the approximation keeps the fused
     and XLA task paths statistically aligned."""
-    safe_x = jnp.where(jnp.abs(x) < 1e-30, 1e-30, x)
+    # sign-preserving clamp: for tiny NEGATIVE x the denominator must stay
+    # negative, or base lands in the wrong quadrant and the +-pi correction
+    # overshoots to ~+-3pi/2 (outside [-pi, pi])
+    safe_x = jnp.where(jnp.abs(x) < 1e-30,
+                       jnp.where(x < 0, -1e-30, 1e-30), x)
     base = atan_approx(y / safe_x)
     return jnp.where(
         x > 0.0, base,

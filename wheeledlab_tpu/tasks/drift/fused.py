@@ -328,8 +328,11 @@ def _set_rows(m, updates):
 
 
 class FusedDriftConsts:
-    """Static constants baked into the kernel closure (hashable via id —
-    built once per task build)."""
+    """Static constants baked into the kernel closure. Hash/eq are by VALUE
+    (every field is a float/int/bool/tuple/frozen cfg): `fused_drift_pallas`
+    takes this as a static jit arg, and identity hashing would recompile the
+    whole fused step for every `make_drift_task` call in a process (sweeps,
+    tests, repeated make_env)."""
 
     def __init__(self, task_cfg, env_cfg):
         self.action = env_cfg.action
@@ -358,6 +361,16 @@ class FusedDriftConsts:
                 hi = max(int(round(p[1] / self.step_dt)), lo + 1)
                 pushes.append((lo, hi, p[2]))
         self.pushes = tuple(pushes)
+
+    def _value_key(self):
+        return tuple(sorted(self.__dict__.items()))
+
+    def __eq__(self, other):
+        return (type(other) is FusedDriftConsts
+                and self._value_key() == other._value_key())
+
+    def __hash__(self):
+        return hash(self._value_key())
 
 
 def _kernel(weights_ref, poses_ref, state_ref, params_ref, act_ref, uni_ref,
