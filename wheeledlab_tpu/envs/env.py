@@ -130,6 +130,11 @@ class TaskModel(NamedTuple):
     command_dim: int = 3
     terrain_atlas: Optional[object] = None  # PatchAtlas for fast rough-terrain
                                             # contact (see sim/terrain.py)
+    contact_atlas: Optional[object] = None  # smaller-patch PatchAtlas for the
+    # wheel-contact path only (obs scans need the big window; contact needs
+    # wheel reach + per-step travel). The fused heightfield kernel's corner
+    # extraction cost scales with p^2 rows, so a p=12 contact patch is ~4x
+    # cheaper than the p=24 scan patch. None -> terrain_atlas serves both.
     metric_fns: Dict[str, Callable[[StepCtx], jax.Array]] = {}
     # ^ task-success metrics ([B] floats), surfaced per step in
     # `info["metrics/<name>"]` and averaged into training metrics — the
@@ -217,15 +222,21 @@ class WheeledEnv:
         self.action_dim = 2
         self.max_episode_length = task.cfg.max_episode_length
         self._reward_names = [t.name for t in task.reward_terms]
+        flat = task.terrain.is_flat
+        hf_capable = not flat and task.terrain_atlas is not None
+        auto_ok = (task.cfg.num_envs % 128 == 0
+                   and jax.default_backend() not in ("cpu", "gpu"))
         if task.cfg.use_pallas == "on":
-            self._use_pallas = True
+            # "on" picks the kernel matching the terrain: flat tasks get the
+            # flat fused kernel, heightfield tasks the patch-resident one
+            self._use_pallas = flat
+            self._use_pallas_hf = hf_capable
         elif task.cfg.use_pallas == "off":
             self._use_pallas = False
-        else:  # auto: flat terrain + an actual TPU backend + lane-aligned batch
-            self._use_pallas = (
-                task.terrain.is_flat
-                and task.cfg.num_envs % 128 == 0
-                and jax.default_backend() not in ("cpu", "gpu"))
+            self._use_pallas_hf = False
+        else:  # auto: an actual TPU backend + lane-aligned batch
+            self._use_pallas = flat and auto_ok
+            self._use_pallas_hf = hf_capable and auto_ok
         # tests set this True (with use_pallas="on") to run the Pallas
         # kernels in interpreter mode on CPU
         self._pallas_interpret = False
@@ -242,7 +253,7 @@ class WheeledEnv:
         push_timers = self._init_push_timers(k_push, n)
         packed_params = None
         vehicle_mem = vehicle
-        if self._use_pallas:
+        if self._use_pallas or self._use_pallas_hf:
             from ..sim.soa import pack_params, pack_state
 
             packed_params = pack_params(params, task.terrain.friction)
@@ -286,17 +297,36 @@ class WheeledEnv:
         # 2. physics decimation loop (PhysX-equivalent). Two backends with
         # identical math: the fused Pallas kernel (flat ground, state resident
         # in VMEM across substeps) or the general vmapped XLA path.
-        if self._use_pallas:
-            from ..ops.pallas_substep import pallas_step
+        if self._use_pallas or self._use_pallas_hf:
             from ..sim.soa import pack_state, unpack_state
 
             mem = (state.vehicle_mem
                    if not isinstance(state.vehicle_mem, VehicleState)
                    else pack_state(state.vehicle_mem))
 
-            def phys(m, p, st, wt):
-                return pallas_step(m, p, st, wt, cfg.sim_dt, cfg.decimation,
-                                   interpret=self._pallas_interpret)
+            if self._use_pallas_hf:
+                from ..ops.pallas_substep_hf import pallas_step_hf
+
+                atlas = task.contact_atlas or task.terrain_atlas
+                nx, ny = atlas.grid_shape
+                cell = float(atlas.cell)  # host_const numpy -> static
+
+                def phys(m, p, st, wt):
+                    # patch extraction (atlas row gather) stays in XLA; the
+                    # kernel holds the extracted rows in VMEM for all
+                    # `decimation` substeps
+                    patch, org = atlas.extract_rows(m[0], m[1])
+                    return pallas_step_hf(
+                        m, p, patch, org, st, wt, cfg.sim_dt, cfg.decimation,
+                        p=atlas.p, nx=nx, ny=ny, cell=cell,
+                        interpret=self._pallas_interpret)
+            else:
+                from ..ops.pallas_substep import pallas_step
+
+                def phys(m, p, st, wt):
+                    return pallas_step(
+                        m, p, st, wt, cfg.sim_dt, cfg.decimation,
+                        interpret=self._pallas_interpret)
 
             from ..parallel.mesh import ambient_data_shards
 
@@ -315,7 +345,8 @@ class WheeledEnv:
             vehicle, aux = jax.vmap(
                 sim_step, in_axes=(0, 0, None, 0, 0, None, None, None)
             )(state.vehicle, state.params, task.terrain, steer_t, wheel_t,
-              cfg.sim_dt, cfg.decimation, task.terrain_atlas)
+              cfg.sim_dt, cfg.decimation,
+              task.contact_atlas or task.terrain_atlas)
 
         # 3. interval events: velocity pushes
         vehicle, push_timers = self._apply_pushes(
@@ -375,7 +406,7 @@ class WheeledEnv:
         reward_weights = self._curriculum_weights(state.reward_weights,
                                                   common_step)
 
-        if self._use_pallas:
+        if self._use_pallas or self._use_pallas_hf:
             from ..sim.soa import pack_state as _pack
 
             vehicle_out = _pack(vehicle)

@@ -280,6 +280,52 @@ class PatchAtlas(struct.PyTreeNode):
     nay: int = struct.field(pytree_node=False, default=1)
     grid_shape: tuple = struct.field(pytree_node=False, default=(1, 1))
 
+    def lookup(self, xy: jax.Array) -> jax.Array:
+        """Batched bilinear height via the atlas — a gather-free replacement
+        for `Heightfield.lookup` on the hot step path (spawn-ground snapping,
+        height terminations/metrics). One embedding row gather + four masked
+        corner reductions over the patch rows; measured ~3x faster than the
+        full-grid 4-corner element gather at 1024 envs (TPU serializes
+        element gathers at ~1/cycle). xy: (B, 2) -> (B,). Heights equal
+        `Heightfield.lookup` up to float associativity (same cells, same
+        bilinear)."""
+        p = self.p
+        nx, ny = self.grid_shape
+        rows, org = self.extract_rows(xy[:, 0], xy[:, 1])   # (p*p, B), (2, B)
+        u = xy[:, 0] / self.cell + (nx - 1) / 2.0 - org[0]
+        v = xy[:, 1] / self.cell + (ny - 1) / 2.0 - org[1]
+        u = jnp.clip(u, 0.0, p - 1.001)
+        v = jnp.clip(v, 0.0, p - 1.001)
+        from .soa_hf import patch_corners
+
+        h00, h01, h10, h11, fx, fy = patch_corners(rows, u, v, p)
+        hr0 = (1.0 - fx) * h00 + fx * h10
+        hr1 = (1.0 - fx) * h01 + fx * h11
+        return hr0 * (1.0 - fy) + hr1 * fy
+
+    def extract_rows(self, px: jax.Array, py: jax.Array):
+        """Batched lane-major extraction for the fused heightfield kernel
+        (ops/pallas_substep_hf.py): world centers (B,), (B,) ->
+        (patch_rows (p*p, B) f32, org (2, B) f32 grid origins).
+
+        One embedding-style row gather from the flat atlas (the measured-fast
+        pattern, see Heightfield.build_atlas) + a transpose into the packed
+        (rows, B) layout the kernel tiles as (rows, B/128, 128). Anchor
+        selection math is identical to `extract`."""
+        p, s = self.p, self.stride
+        nx, ny = self.grid_shape
+        gx = px / self.cell + (nx - 1) / 2.0
+        gy = py / self.cell + (ny - 1) / 2.0
+        ix = jnp.clip(jnp.round((gx - p / 2.0) / s).astype(jnp.int32),
+                      0, self.nax - 1)
+        iy = jnp.clip(jnp.round((gy - p / 2.0) / s).astype(jnp.int32),
+                      0, self.nay - 1)
+        sx = jnp.minimum(ix * s, nx - p)
+        sy = jnp.minimum(iy * s, ny - p)
+        rows = jnp.asarray(self.rows)[ix * self.nay + iy]       # (B, p*p)
+        org = jnp.stack([sx, sy]).astype(jnp.float32)           # (2, B)
+        return rows.T, org
+
     def extract(self, center_xy: jax.Array) -> TerrainPatch:
         """Nearest-anchor patch for world `center_xy` (per env; vmap)."""
         p, s = self.p, self.stride

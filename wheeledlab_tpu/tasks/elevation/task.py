@@ -117,11 +117,18 @@ def _forward_vel(ctx: StepCtx) -> jax.Array:
     return jnp.clip(ctx.body_lin_vel[..., 0], max=1.2)
 
 
-def below_height(ctx: StepCtx) -> jax.Array:
+def make_below_height(atlas):
     """root_height_below_minimum 0.15 with base 0.19 -> 4 cm below rest;
-    measured relative to local terrain height (:356-359)."""
-    ground = ctx.terrain.lookup(ctx.vehicle.pos[..., :2])
-    return (ctx.vehicle.pos[..., 2] - ground) < (REST_H - 0.04)
+    measured relative to local terrain height (:356-359). Ground height
+    comes from the contact atlas (one row gather + corner reductions) — the
+    full-grid `terrain.lookup` element gather measured ~30 us/step at 1024
+    envs on the hot path."""
+
+    def below_height(ctx: StepCtx) -> jax.Array:
+        ground = atlas.lookup(ctx.vehicle.pos[..., :2])
+        return (ctx.vehicle.pos[..., 2] - ground) < (REST_H - 0.04)
+
+    return below_height
 
 
 def stuck(ctx: StepCtx, min_vel: float = 0.02,
@@ -156,9 +163,14 @@ def goal_distance(ctx: StepCtx) -> jax.Array:
         ctx.command[..., :2] - ctx.vehicle.pos[..., :2], axis=-1)
 
 
-def elevation_gain(ctx: StepCtx) -> jax.Array:
-    """Height of local ground under the robot — rises as policies climb."""
-    return ctx.terrain.lookup(ctx.vehicle.pos[..., :2])
+def make_elevation_gain(atlas):
+    """Height of local ground under the robot — rises as policies climb.
+    Atlas-based for the same hot-path reason as `make_below_height`."""
+
+    def elevation_gain(ctx: StepCtx) -> jax.Array:
+        return atlas.lookup(ctx.vehicle.pos[..., :2])
+
+    return elevation_gain
 
 
 # ---------------------------------------------------------------------------
@@ -169,23 +181,55 @@ def elevation_gain(ctx: StepCtx) -> jax.Array:
 def make_elevation_obs(atlas):
     """Obs fn closure over the terrain PatchAtlas: per-env patch row gather +
     bilinear one-hot MXU scan (sim/terrain.py) — exact bilinear sampling on
-    the native terrain grid with zero per-element gathers."""
+    the native terrain grid with zero per-element gathers.
+
+    Formulated as ONE batched einsum over all envs rather than a vmap of
+    per-env (676, p) @ (p, p) matmuls: identical values (measured max diff
+    0.0), but the batched (B, 676, p) @ (B, p, p) contraction lets XLA tile
+    the whole batch onto the MXU in one op — 2689 -> 110 us at 1024 envs
+    (the per-env vmap lowering dominated the elevation iteration's 11.4 ms
+    obs phase, ARCHITECTURE.md round-4 profile)."""
+    p = atlas.p
+    nx, ny = atlas.grid_shape
+    n = SCAN_N
+    axis = (jnp.arange(n, dtype=jnp.float32) - (n - 1) / 2.0) * SCAN_RES
+    ox, oy = jnp.meshgrid(axis, axis, indexing="ij")
+    offs_x, offs_y = ox.ravel(), oy.ravel()            # (n*n,) static
 
     def elevation_obs(ctx: StepCtx, key: jax.Array) -> jax.Array:
         v = ctx.vehicle
         goal_rel = jnp.nan_to_num(ctx.command[..., :2] - v.pos[..., :2])
         euler = wmath.euler_xyz_from_quat(v.quat)
         yaw = euler[..., 2]
+        pos2 = v.pos[..., :2]
+        b = pos2.shape[0]
         # world-corrected height map: terrain height around the robot,
         # yaw-aligned grid scan == RayCaster GridPattern attach_yaw_only
         # (:132-142). Corrected by the robot's ACTUAL z like world_height_map
         # (:44-48, `height_scan + (root_z - 0.19)` with 0.19 = rest height):
         # suspension compression / airborne state stays visible in the obs —
         # the scan reads lower while the chassis rides higher.
-        def one(pos, th):
-            patch = atlas.extract(pos)
-            return patch.grid_scan(pos, th, SCAN_SIZE, SCAN_RES)
-        scan = jax.vmap(one)(v.pos[..., :2], yaw)
+        rows, org = atlas.extract_rows(pos2[:, 0], pos2[:, 1])
+        patch = rows.T.reshape(b, p, p)
+        c, s = jnp.cos(yaw)[:, None], jnp.sin(yaw)[:, None]
+        qx = pos2[:, 0, None] + offs_x[None] * c - offs_y[None] * s
+        qy = pos2[:, 1, None] + offs_x[None] * s + offs_y[None] * c
+        u = jnp.clip(qx / atlas.cell + (nx - 1) / 2.0 - org[0][:, None],
+                     0.0, p - 1.001)
+        w = jnp.clip(qy / atlas.cell + (ny - 1) / 2.0 - org[1][:, None],
+                     0.0, p - 1.001)
+        x0 = jnp.floor(u)
+        y0 = jnp.floor(w)
+        fx, fy = u - x0, w - y0
+        iota = jnp.arange(p, dtype=jnp.float32)
+        row_w = ((iota[None, None] == x0[..., None]) * (1.0 - fx[..., None])
+                 + (iota[None, None] == (x0 + 1)[..., None]) * fx[..., None])
+        col_w = ((iota[None, None] == y0[..., None]) * (1.0 - fy[..., None])
+                 + (iota[None, None] == (y0 + 1)[..., None]) * fy[..., None])
+        # DEFAULT dot precision (bf16 operand rounding, +-2 mm on meter-scale
+        # heights) is fine: the reference adds Unoise(+-0.02 m) to this obs
+        scanned = jnp.einsum("bsp,bpq->bsq", row_w, patch)       # MXU
+        scan = (scanned * col_w).sum(-1)                          # (B, n*n)
         rel_scan = scan - (v.pos[..., 2] - REST_H)[..., None]
         return _concat_obs(ctx, goal_rel, euler, rel_scan)
 
@@ -223,6 +267,12 @@ def make_elevation_task(cfg: ElevationTaskCfg) -> TaskModel:
     from ...utils.host import host_const
     terrain = host_const(terrain)
     atlas = host_const(terrain.build_atlas(p=24, stride=6))
+    # Separate SMALL atlas for wheel contact + step-path ground lookups:
+    # contact only needs wheel reach (~0.2 m) + per-control-step travel
+    # (<=0.3 m) inside the (p/2 - stride/2 - 1)*cell = 1.0 m slack, and the
+    # fused kernel's corner-extraction cost scales with p^2 patch rows
+    # (p=12 -> 4x cheaper than the 2.5 m-scan-sized p=24 patch).
+    contact_atlas = host_const(terrain.build_atlas(p=12, stride=2))
 
     # MUSHR_SUS 4WD asset (reference mushr_elevation_env_cfg.py:130 +
     # Mushr4WDActionCfg)
@@ -256,7 +306,8 @@ def make_elevation_task(cfg: ElevationTaskCfg) -> TaskModel:
         vel_xy = jax.random.uniform(
             k_vel, (num, 2), minval=cfg.spawn_vel_range[0],
             maxval=cfg.spawn_vel_range[1])
-        ground = terrain.lookup(xy)
+        ground = contact_atlas.lookup(xy)  # gather-free (runs every step
+        # for auto-reset; full-grid lookup measured ~50 us at 1024 envs)
         pos = jnp.concatenate([xy, (ground + REST_H + 0.02)[:, None]], -1)
         state = VehicleState.zero((num,))
         lin_vel = jnp.concatenate([vel_xy, jnp.zeros((num, 1))], -1)
@@ -301,7 +352,7 @@ def make_elevation_task(cfg: ElevationTaskCfg) -> TaskModel:
         sample_spawn=sample_spawn,
         reward_terms=reward_terms,
         termination_fns=({
-            "cart_out_of_bounds": below_height,
+            "cart_out_of_bounds": make_below_height(contact_atlas),
             "stuck": stuck,
             "rollover": rollover,
             "at_goal": at_goal,
@@ -310,8 +361,9 @@ def make_elevation_task(cfg: ElevationTaskCfg) -> TaskModel:
         curriculum=curriculum,
         command=command,
         terrain_atlas=atlas,
+        contact_atlas=contact_atlas,
         metric_fns={"goal_dist": goal_distance,
-                    "ground_height": elevation_gain},
+                    "ground_height": make_elevation_gain(contact_atlas)},
         render_grid=(np.asarray(terrain.height).T, float(terrain.cell)),
     )
 
