@@ -55,6 +55,19 @@ class PPOCfg:
     init_noise_std: float = 1.0
     rnn_hidden_size: int = 256       # recurrent policy only (rsl_rl default)
     rnn_num_layers: int = 1
+    fuse_input_layer: bool = False
+    # ^ run the actor+critic first layers as one concatenated matmul
+    # (networks.fused_actor_critic_apply) — the MXU-tile fix for
+    # wide-observation tasks; param tree unchanged
+    compute_dtype: str = "float32"
+    # ^ "bfloat16": policy matmuls in bf16 (f32 params/heads) AND the stored
+    # rollout obs dataset in bf16. For wide-obs tasks the first-layer
+    # contraction + the obs dataset's HBM traffic dominate the PPO update
+    # (visual: 3208-wide obs, dataset 840 MB f32, update was 20.4 ms of the
+    # 51.8 ms iteration — ARCHITECTURE.md round-4 profile). Exactness note:
+    # flax Dense(dtype=bf16) rounds its INPUT operand, so the update's
+    # recomputed action mean sees bit-identical matmul inputs whether obs
+    # was stored f32 or bf16 — storage dtype does not perturb the PPO ratio.
 
 
 def init_info_acc(env: "WheeledEnv", env_state) -> Dict[str, jax.Array]:
@@ -174,7 +187,18 @@ def make_ppo(env: WheeledEnv, cfg: PPOCfg, _internals: dict | None = None,
     model = ActorCritic(
         action_dim=env.action_dim, actor_hidden=cfg.actor_hidden,
         critic_hidden=cfg.critic_hidden, activation=cfg.activation,
-        init_noise_std=cfg.init_noise_std)
+        init_noise_std=cfg.init_noise_std, compute_dtype=cfg.compute_dtype)
+    # obs dataset storage dtype (see PPOCfg.compute_dtype)
+    store_obs = ((lambda x: x.astype(jnp.bfloat16))
+                 if cfg.compute_dtype == "bfloat16" else (lambda x: x))
+    if (cfg.fuse_input_layer
+            and cfg.actor_hidden[0] == cfg.critic_hidden[0]):
+        from .networks import fused_actor_critic_apply
+
+        apply_fn = lambda params, obs: fused_actor_critic_apply(
+            model, params, obs)
+    else:
+        apply_fn = model.apply
 
     tx = optax.chain(
         optax.clip_by_global_norm(cfg.max_grad_norm),
@@ -191,7 +215,7 @@ def make_ppo(env: WheeledEnv, cfg: PPOCfg, _internals: dict | None = None,
                           iteration=jnp.zeros((), jnp.int32))
 
     def policy_apply(params, obs):
-        return model.apply(params, obs)
+        return apply_fn(params, obs)
 
     # ------------------------------------------------------------- rollout
 
@@ -199,15 +223,15 @@ def make_ppo(env: WheeledEnv, cfg: PPOCfg, _internals: dict | None = None,
         def step(carry, key):
             env_state, obs, acc = carry
             k_act = key
-            mean, std, value = model.apply(state.params, obs)
+            mean, std, value = apply_fn(state.params, obs)
             action = mean + std * jax.random.normal(k_act, mean.shape)
             log_prob = gaussian_log_prob(mean, std, action)
             env_state, out = env.step(env_state, action)
             # timeout bootstrap (rsl_rl process_env_step:
             # rewards += gamma * value * time_out)
             reward = out.reward + cfg.gamma * value * out.time_out
-            tr = Transition(obs=obs, action=action, log_prob=log_prob,
-                            value=value, reward=reward,
+            tr = Transition(obs=store_obs(obs), action=action,
+                            log_prob=log_prob, value=value, reward=reward,
                             done=out.done.astype(jnp.float32),
                             mean=mean, std=std)
             acc = accumulate_info(acc, out.info, out.done)
@@ -239,7 +263,7 @@ def make_ppo(env: WheeledEnv, cfg: PPOCfg, _internals: dict | None = None,
 
     def loss_fn(params, batch, clip_param):
         obs, action, old_log_prob, old_value, ret, adv, old_mean, old_std = batch
-        mean, std, value = model.apply(params, obs)
+        mean, std, value = apply_fn(params, obs)
         log_prob = gaussian_log_prob(mean, std, action)
         ratio = jnp.exp(log_prob - old_log_prob)
         surr1 = ratio * adv
@@ -356,7 +380,7 @@ def make_ppo(env: WheeledEnv, cfg: PPOCfg, _internals: dict | None = None,
 
     def train_iteration(state: TrainState):
         env_state, obs, traj, acc, caps, key = rollout(state)
-        _, _, last_value = model.apply(state.params, obs)
+        _, _, last_value = apply_fn(state.params, obs)
         _, returns, norm_adv = compute_gae(traj, last_value)
 
         # time-major [T, B, ...] columns; update_epochs flattens per shard

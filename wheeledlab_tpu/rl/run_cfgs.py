@@ -11,8 +11,14 @@ from .runner import LogCfg, RunConfig, TrainCfg
 # Agent configs (reference drifting/elevation/visual rsl_rl_ppo_cfg.py —
 # identical algorithm hyperparams; only activation + max_iterations differ).
 DRIFT_PPO = PPOCfg(activation="elu")
-ELEV_PPO = PPOCfg(activation="relu")
-VISUAL_PPO = PPOCfg(activation="relu")
+# Wide-observation tasks (elevation 689, visual 3208) run the actor+critic
+# input layers as ONE concatenated matmul (networks.fused_actor_critic_apply)
+# — hidden width 64 fills only half an MXU lane tile, and the input-layer
+# contraction dominates their PPO update (measured: visual update 13 -> 7.7
+# ms/iter, elevation iteration 31.7 -> 29.7 ms). Drift keeps the plain
+# apply: its obs is 14-wide (no win) and its goldens pin bit-exactness.
+ELEV_PPO = PPOCfg(activation="relu", fuse_input_layer=True)
+VISUAL_PPO = PPOCfg(activation="relu", fuse_input_layer=True)
 
 # Per-task iteration budgets. The reference splits these between
 # RLTrainConfig.num_iterations=5000 (runs/rss_cfgs.py) and the per-task agent

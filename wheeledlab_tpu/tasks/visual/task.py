@@ -228,6 +228,11 @@ def make_visual_task(cfg: VisualTaskCfg) -> TaskModel:
                 imgs = render(colormap, v.pos, v.quat)[:, crop_top:, :]
             else:
                 imgs = render_fast(atlas, v.pos, v.quat, crop_top=crop_top)
+                # (a p=24 near-patch split for the bottom half of the image
+                # — camera.py near_atlas — measured SLOWER: 42.5 -> 46.8
+                # ms/iter at 512 envs; splitting the one (3200, 40) @
+                # (40, 40) batched contraction into two half-size ones loses
+                # more MXU packing than the smaller patch saves)
             if cfg.enable_corruption:
                 imgs = augment_images(imgs, k_aug)       # (B, 40, 80)
             cam = ((imgs - 0.5) / 0.5).reshape(imgs.shape[0], -1)  # (B, 3200)
