@@ -6,9 +6,11 @@ Two tiers (SURVEY.md §4; VERDICT r1 "prove the learning north star"):
    reward of the last 5 iterations beats the first 5 by a margin that holds
    across seeds (measured: ratios 1.5-1.7x for seeds 0-3 at this scale). This
    would fail on a policy that learns nothing.
-2. Per-task smoke tests — a few iterations on every task end-to-end without
-   NaNs (guards the training path; full-scale learning evidence lives in
-   docs/runs/* TPU artifacts, regression-checked by test_run_artifacts.py).
+2. `TestAllTasksImprove` — the same improvement bar for every other task
+   (f1tenth drift, elevation, visual) at CPU scale, so a learning
+   regression in ANY task is caught before a TPU artifact regen
+   (full-scale evidence lives in docs/runs/*, checked by
+   test_run_artifacts.py).
 
 ~2.5 min total on the CPU test mesh.
 """
@@ -59,24 +61,49 @@ class TestDriftImproves:
         assert np.isfinite(out["metrics/slip_deg"]).all()
 
 
-class TestLearningSmoke:
-    def test_elevation_trains(self):
-        rets = run_iters(
-            "MushrElevationRL-v0", 16, 4,
+class TestAllTasksImprove:
+    """CPU-scale IMPROVEMENT assertions for every task (VERDICT r4 #3):
+    each MDP's rollout reward must rise materially over a short budget, so a
+    learning regression is caught before a TPU artifact regen. Bars are
+    calibrated across seeds 0-3 (ratios measured: f1tenth 1.35-1.71x,
+    elevation 1.13-1.63x, visual 1.18-2.41x; the fixed CI seed 0 sits well
+    inside every bar). Full-scale learning evidence lives in docs/runs/*
+    TPU artifacts, regression-checked by test_run_artifacts.py."""
+
+    def test_f1tenth_improves(self):
+        rews = run_iters(
+            "F1TenthDriftRL-v0", 256, 40,
+            ppo=dict(num_steps_per_env=32, num_learning_epochs=3,
+                     num_mini_batches=4))
+        first5, last5 = np.mean(rews[:5]), np.mean(rews[-5:])
+        # measured seed 0: 0.70 -> 1.19
+        assert last5 > first5 + 0.15, (first5, last5)
+        assert last5 > 1.2 * first5, (first5, last5)
+
+    def test_elevation_improves(self):
+        rews = run_iters(
+            "MushrElevationRL-v0", 128, 50,
+            ppo=dict(num_steps_per_env=32, num_learning_epochs=3,
+                     num_mini_batches=4),
             terrain_extent=20.0, num_mounds=10, spawn_range=8.0,
             goal_range=8.0)
-        assert len(rets) == 4
+        first5, last5 = np.mean(rews[:5]), np.mean(rews[-5:])
+        # measured seed 0 on the CI 8-device mesh: 235.2 -> 304.4 (policy
+        # gains goal velocity, stops triggering the stuck penalty)
+        assert last5 > first5 + 30.0, (first5, last5)
+        assert last5 > 1.1 * first5, (first5, last5)
 
-    def test_visual_trains(self):
-        rets = run_iters(
-            "MushrVisualRL-v0", 8, 3,
+    def test_visual_improves(self):
+        rews = run_iters(
+            "MushrVisualRL-v0", 64, 25,
+            ppo=dict(num_steps_per_env=32, num_learning_epochs=3,
+                     num_mini_batches=4),
             map_rows=100, map_cols=100, env_rows=20, env_cols=20,
             group_rows=5, group_cols=5)
-        assert len(rets) == 3
-
-    def test_f1tenth_trains(self):
-        rets = run_iters("F1TenthDriftRL-v0", 16, 4)
-        assert len(rets) == 4
+        first5, last5 = np.mean(rews[:5]), np.mean(rews[-5:])
+        # measured seed 0: 1.71 -> 4.12 (drives forward, stays on corridor)
+        assert last5 > first5 + 0.8, (first5, last5)
+        assert last5 > 1.3 * first5, (first5, last5)
 
 
 if __name__ == "__main__":
