@@ -89,14 +89,15 @@ def main(argv=None):
             s, out = env.step(s, mean)
             yaw = wmath.yaw_from_quat(s.vehicle.quat)
             carry = (s, out.obs, hidden, out.done.astype(jnp.float32))
-            return carry, (o, mean, s.vehicle.pos, yaw, out.reward, s.command)
+            return carry, (o, mean, s.vehicle.pos, yaw, out.reward, s.command,
+                           s.vehicle.quat)
 
         carry0 = (env_state, obs, hidden0 if recurrent else 0,
                   jnp.zeros((args.num_envs,)))
         _, traj = jax.lax.scan(body, carry0, None, length=args.steps)
         return traj
 
-    obs_t, act_t, pos_t, yaw_t, rew_t, cmd_t = [
+    obs_t, act_t, pos_t, yaw_t, rew_t, cmd_t, quat_t = [
         np.asarray(x) for x in rollout(env_state, obs)]
     play_dir = os.path.join(run_dir, "play")
     os.makedirs(play_dir, exist_ok=True)
@@ -142,6 +143,25 @@ def main(argv=None):
                                     goals=cmd_t[:, :, :2])
         vid = save_video(frames, os.path.join(play_dir, f"{args.run}.avi"))
         print(f"saved video to {vid}")
+        if env.task.colormap is not None:
+            # POLICY-VIEW clip for camera tasks: the rendered scene the
+            # policy actually operates in, from env 0's onboard camera —
+            # parity with the reference's sim-viewport play recordings
+            # (custom_video_recorder.py:12-75 over the TiledCamera,
+            # mushr_visual_env_cfg.py:230-246). Full-frame exact RGB render
+            # (render_rgb — the parity surface, not the atlas fast path).
+            from ..tasks.visual.camera import render_rgb
+
+            fp = jax.jit(lambda p, q: render_rgb(env.task.colormap, p, q))(
+                jnp.asarray(pos_t[:, 0]), jnp.asarray(quat_t[:, 0]))
+            fp_frames = np.clip(
+                np.asarray(fp) * 255.0, 0, 255).astype(np.uint8)
+            vid_fp = save_video(
+                fp_frames,
+                os.path.join(play_dir, f"{args.run}-policyview.avi"),
+                fps=max(int(round(1.0 / step_dt)), 1),
+                resolution=(320, 240))
+            print(f"saved policy-view video to {vid_fp}")
 
 
 if __name__ == "__main__":
