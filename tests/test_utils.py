@@ -168,3 +168,58 @@ class TestCompilationCacheMode:
         assert resolve_cache_mode("False") is False     # CLI override string
         assert resolve_cache_mode(True) is True
         assert resolve_cache_mode(False) is False
+
+class TestAotWarmStart:
+    """utils/aot.py — serialized-executable warm-start cache. The full
+    roundtrip (compile -> pickle -> fresh-process load -> bit-equal
+    iteration output) is validated on the real TPU backend and committed as
+    docs/runs/rss_drift_tpu/warm_start.json; here we pin the guards and the
+    cache-key semantics on the CPU mesh."""
+
+    def test_multi_device_client_disables_cache(self, tmp_path, monkeypatch):
+        """deserialize_and_load binds every local device, so the cache must
+        stand down on multi-device clients (this test mesh has 8) even when
+        forced on — the plain jit comes back unchanged."""
+        import jax
+
+        from wheeledlab_tpu.rl.ppo import make_ppo
+        from wheeledlab_tpu.tasks import make_env
+        from wheeledlab_tpu.utils import aot
+        from wheeledlab_tpu.utils.config import RUN_CONFIGS, override
+        import wheeledlab_tpu.rl  # register configs
+
+        monkeypatch.setenv("WHEELEDLAB_AOT_DIR", str(tmp_path))
+        run_cfg = RUN_CONFIGS.get("RSS_DRIFT_CONFIG")
+        run_cfg = override(run_cfg, "num_envs", 16)
+        run_cfg = override(run_cfg, "train.aot_warm_start", "on")
+        env = make_env(run_cfg.task_name, num_envs=16)
+        init_fn, train_iteration, _ = make_ppo(env, run_cfg.agent)
+        state0 = jax.jit(init_fn)(jax.random.PRNGKey(0))
+        jfn = jax.jit(train_iteration)
+        assert len(jax.devices()) > 1
+        f = aot.maybe_aot_warm_start(jfn, state0, run_cfg, None)
+        assert f is jfn
+        assert not list(tmp_path.glob("iter-*.pkl"))
+
+    def test_key_changes_with_config(self, tmp_path, monkeypatch):
+        from wheeledlab_tpu.utils import aot
+        from wheeledlab_tpu.utils.config import RUN_CONFIGS, override
+        import wheeledlab_tpu.rl
+
+        cfg = RUN_CONFIGS.get("RSS_DRIFT_CONFIG")
+        k1 = aot._cache_key(cfg)
+        k2 = aot._cache_key(override(cfg, "num_envs", 32))
+        assert k1 != k2
+        # program-irrelevant knobs (budget, seed, log paths) share the key
+        k3 = aot._cache_key(override(cfg, "train.num_iterations", 7))
+        k4 = aot._cache_key(override(cfg, "train.seed", 99))
+        assert k1 == k3 == k4
+
+    def test_auto_mode_off_on_cpu_tests(self):
+        from wheeledlab_tpu.utils.aot import resolve_aot_mode
+
+        # the test mesh runs on cpu: auto must stay off even with the
+        # tunnel env var set (it is, in this environment)
+        assert resolve_aot_mode("auto") is False
+        assert resolve_aot_mode("on") is True
+        assert resolve_aot_mode("off") is False

@@ -77,6 +77,11 @@ class TrainCfg:
     # ^ early stop once episode/return reaches this at a log point — the
     # train-to-return benchmark knob (BASELINE.json "RSS_DRIFT to reference
     # return <10 min"; scripts/train_bench.py)
+    aot_warm_start: str = "auto"     # serialized-executable cache for the
+                                     # train iteration (utils/aot.py):
+                                     # "auto" = ON exactly where the XLA
+                                     # disk cache is off (axon tunnel);
+                                     # "on"/"off" force it
     log: LogCfg = LogCfg()
 
 
@@ -277,6 +282,14 @@ def train(run_cfg: RunConfig, env=None, max_iterations: Optional[int] = None,
         # restoring into the (possibly sharded) template keeps placements
         state = restore_checkpoint(prev_mgr, run_cfg.train.load_run_checkpoint,
                                    state)
+
+    # warm-start: swap the jitted iteration for a cached serialized
+    # executable where the XLA disk cache is off (utils/aot.py; measured
+    # 0.4 s load vs 19-78 s remote compile on the axon tunnel)
+    from ..utils.aot import maybe_aot_warm_start
+
+    iter_jit = maybe_aot_warm_start(iter_jit, state, run_cfg, mesh,
+                                    verbose=verbose)
 
     n_iter = max_iterations or run_cfg.train.num_iterations
     steps_per_iter = run_cfg.agent.num_steps_per_env * env.num_envs
