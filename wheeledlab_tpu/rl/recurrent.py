@@ -46,7 +46,7 @@ class _DualMemoryStep(nn.Module):
     done-masked carry reset (reset=1 zeroes the carry entering this step).
 
     BPTT-speed engineering (all measured on v5e, 1024 envs; r3 baseline
-    132.5 ms/iteration, now 93 ms):
+    132.5 ms/iteration, now 60 ms):
 
     - **One scan for both chains** instead of two T-length scans
       back-to-back: the recurrences are independent, so XLA schedules both
@@ -54,17 +54,25 @@ class _DualMemoryStep(nn.Module):
     - **bf16 cell computation** (`dtype=bfloat16`, f32 params): the gate
       matmuls AND the sigmoid/tanh elementwise — which dominate the per-step
       cost at this size — run at 2x VPU/MXU rate (93 ms).
-    - **unroll=8** on the time scan; higher unroll measured SLOWER
-      (139/155 ms at 16/32).
+    - **remat on the scanned step** (round 5, the big one: 93.3 -> 60.3
+      ms): without it the BPTT scan stashes every step's forward
+      intermediates to HBM for the backward — ~(T, mb, gates+carries) per
+      minibatch, re-read in reverse order. Recomputing the cheap gate math
+      in the backward pass deletes that round-trip entirely; the update was
+      HBM-stash-bound, not FLOPs-bound.
+    - **unroll=8** on the time scan; pre-remat, higher unroll measured
+      SLOWER (139/155 ms at 16/32 — bigger stashes); with remat unroll=16
+      is a wash (60.6 ms) and 4 is worse (80.9 ms).
     - Measured NEGATIVE result: hoisting the x-side input projections out
       of the recurrence (the classic cuDNN LSTM split) ran 136 ms — with a
       14-wide obs the hoisted matmul saves nothing, and the materialized
-      (T, B, 4H) pre-activations cost an HBM round-trip per pass. The
-      remaining ~2x would need a hand-written Pallas LSTM kernel with a
-      custom VJP (weights VMEM-resident across the whole window); not taken
-      this round — the per-iteration floor is the 2 x T x epochs x
-      minibatches sequential gate chain, which no XLA-level restructuring
-      removes."""
+      (T, B, 4H) pre-activations cost an HBM round-trip per pass.
+    - Sharing the sequence forward across epochs is NOT possible: params
+      update every minibatch, so every minibatch's hidden chain differs —
+      there is nothing to reuse. The remaining gap to ~40 ms would need a
+      hand-written Pallas LSTM kernel with a custom VJP (weights
+      VMEM-resident across the whole window); the per-iteration floor is
+      the 2 x T x epochs x minibatches sequential gate chain."""
 
     hidden_size: int
     num_layers: int
@@ -93,7 +101,7 @@ class _DualMemoryStep(nn.Module):
 
 # Scan the step over the leading time axis; params broadcast across steps.
 _Memory = nn.scan(
-    _DualMemoryStep,
+    nn.remat(_DualMemoryStep),
     variable_broadcast="params",
     split_rngs={"params": False},
     in_axes=0,
