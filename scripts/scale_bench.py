@@ -64,6 +64,9 @@ def main():
     p.add_argument("--distributed", action="store_true")
     p.add_argument("--full-ppo", action="store_true",
                    help="benchmark the full train iteration, not just rollout")
+    p.add_argument("--fuse-input-layer", action="store_true",
+                   help="fused actor+critic first-layer matmul (the update-"
+                        "efficiency lever for the pod envelope sweep)")
     p.add_argument("--out", default=None, help="also write the JSON line here")
     args = p.parse_args()
 
@@ -82,7 +85,8 @@ def main():
 
     with jax.sharding.set_mesh(mesh):
         if args.full_ppo:
-            cfg = PPOCfg(num_steps_per_env=args.rollout)
+            cfg = PPOCfg(num_steps_per_env=args.rollout,
+                         fuse_input_layer=args.fuse_input_layer)
             # mesh -> shard-local minibatch shuffle (no dataset all-to-all)
             init_fn, train_iter, _ = make_ppo(env, cfg, mesh=mesh)
             state = jax.jit(init_fn)(jax.random.PRNGKey(0))
