@@ -72,6 +72,21 @@ class TestPatchAtlas:
         h_ref, _ = terrain.lookup_and_normal(centers)
         np.testing.assert_allclose(h_p, h_ref, atol=1e-5)
 
+    def test_atlas_lookup_matches_heightfield_lookup(self, terrain):
+        """PatchAtlas.lookup (the gather-free step-path height query used
+        by spawn snapping / height terminations / metrics, round 5) must
+        match the full-grid bilinear to float associativity everywhere —
+        including at the map borders."""
+        atlas = terrain.build_atlas(p=12, stride=2)
+        pts = jnp.concatenate([
+            jax.random.uniform(jax.random.PRNGKey(4), (256, 2),
+                               minval=-19, maxval=19),
+            jnp.array([[-22.0, -22.0], [22.0, 22.0], [0.0, 22.0]]),
+        ])
+        np.testing.assert_allclose(
+            np.asarray(atlas.lookup(pts)),
+            np.asarray(terrain.lookup(pts)), atol=1e-5)
+
     def test_patch_grid_scan_matches_global_bilinear(self, terrain):
         atlas = terrain.build_atlas(p=24, stride=6)
         centers = jax.random.uniform(
