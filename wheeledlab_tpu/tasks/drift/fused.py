@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import functools
 import math as pymath
+import os
 
 import jax
 import jax.numpy as jnp
@@ -377,9 +378,20 @@ def _kernel(weights_ref, poses_ref, state_ref, params_ref, act_ref, uni_ref,
             nrm_ref, step_ref, timers_ref, epret_ref, eplen_ref,
             state_out, obs_out, out_out, step_out, timers_out, epret_out,
             eplen_out, *, cfg):
+    _kernel_epilogue(
+        weights_ref, poses_ref, state_ref, params_ref, act_ref, uni_ref[:],
+        nrm_ref[:], step_ref, timers_ref, epret_ref, eplen_ref, state_out,
+        obs_out, out_out, step_out, timers_out, epret_out, eplen_out,
+        cfg=cfg)
+
+
+def _kernel_epilogue(weights_ref, poses_ref, state_ref, params_ref, act_ref,
+                     uni, nrm, step_ref, timers_ref, epret_ref, eplen_ref,
+                     state_out, obs_out, out_out, step_out, timers_out,
+                     epret_out, eplen_out, *, cfg):
     res = drift_step_rows(
-        state_ref[:], params_ref[:], act_ref[0], act_ref[1], uni_ref[:],
-        nrm_ref[:], lambda i: weights_ref[0, i],
+        state_ref[:], params_ref[:], act_ref[0], act_ref[1], uni,
+        nrm, lambda i: weights_ref[0, i],
         lambda i, j: poses_ref[i, j], step_ref[0], timers_ref[:],
         epret_ref[0], eplen_ref[0], cfg=cfg)
     nsr, obs, out, step_count, timers, epret, eplen = res
@@ -390,6 +402,40 @@ def _kernel(weights_ref, poses_ref, state_ref, params_ref, act_ref, uni_ref,
     timers_out[:] = timers
     epret_out[0] = epret
     eplen_out[0] = eplen
+
+
+def _kernel_krng(weights_ref, poses_ref, state_ref, params_ref, act_ref,
+                 seed_ref, step_ref, timers_ref, epret_ref, eplen_ref,
+                 state_out, obs_out, out_out, step_out, timers_out,
+                 epret_out, eplen_out, *, cfg):
+    """`_kernel` with the per-step RNG blocks generated IN-KERNEL from the
+    hardware PRNG instead of streamed from HBM (TPU only; r4's named +15%
+    lever). Seeded per (step-seed, grid block) so tiles draw independent
+    streams. Uniforms: top 24 bits of the raw stream -> [0, 1) with the
+    sign masked BEFORE the float convert (prng_random_bits is s32 and
+    Mosaic has no u32->f32 cast); normals: Box-Muller from two uniform
+    blocks. Moments validated on-device: mean 0.5013 / std 0.2882 uniform,
+    mean -0.010 / std 1.004 / kurtosis 2.97 normal, lag-1 corr 0.014 at
+    24.5k samples."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+    want_noise = cfg.enable_corruption
+    total = NUM_UNIFORM + (2 * OBS_ROWS if want_noise else 0)
+    bits = pltpu.prng_random_bits((total,) + state_ref.shape[1:])
+    u = ((bits >> 7) & jnp.int32(0x00FFFFFF)).astype(jnp.float32) * (
+        1.0 / (1 << 24))
+    uni = u[:NUM_UNIFORM]
+    if want_noise:
+        u1 = jnp.maximum(u[NUM_UNIFORM:NUM_UNIFORM + OBS_ROWS], 1e-7)
+        u2 = u[NUM_UNIFORM + OBS_ROWS:]
+        nrm = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(2.0 * jnp.pi * u2)
+    else:
+        nrm = jnp.zeros((OBS_ROWS,) + u.shape[1:], jnp.float32)
+    _kernel_epilogue(
+        weights_ref, poses_ref, state_ref, params_ref, act_ref, uni, nrm,
+        step_ref, timers_ref, epret_ref, eplen_ref, state_out, obs_out,
+        out_out, step_out, timers_out, epret_out, eplen_out, cfg=cfg)
 
 
 @functools.partial(jax.jit,
@@ -455,6 +501,59 @@ def fused_drift_pallas(weights_pad, poses, state, params, action_rows,
     return tuple(unview(x) for x in res)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "n_push"))
+def fused_drift_pallas_krng(weights_pad, poses, state, params, action_rows,
+                            seed, step_count, timers, ep_return, ep_len,
+                            cfg: FusedDriftConsts, n_push: int):
+    """`fused_drift_pallas` with IN-KERNEL hardware PRNG (`_kernel_krng`):
+    the per-step uniform/normal blocks (26 rows x B of rbg output per step,
+    ~18% of the fused step's wall time at 16k envs) never exist in HBM.
+    TPU-only (no interpret path — the interpret/CPU parity tests pin the
+    math through the streamed-RNG kernel, which shares `_kernel_epilogue`
+    verbatim); `seed` is a (1,) i32 drawn per control step."""
+    b = state.shape[1]
+    assert b % 128 == 0, "kernel-RNG path is TPU-only (lane-aligned batch)"
+    lanes = b // 128
+    sub = next(s for s in (16, 8, 4, 2, 1) if lanes % s == 0)
+    grid = (lanes // sub,)
+    shape3 = lambda rows: (rows, lanes, 128)
+    block = lambda rows: (rows, sub, 128)
+
+    def spec(rows):
+        return pl.BlockSpec(
+            block(rows), lambda i: (0, i, 0),
+            **({} if _VMEM is None else {"memory_space": _VMEM}))
+
+    def smem_spec(shape):
+        return pl.BlockSpec(
+            shape, lambda i: (0,) * len(shape),
+            **({} if _SMEM is None else {"memory_space": _SMEM}))
+
+    view = lambda x: x.reshape((x.shape[0],) + shape3(0)[1:])
+    sds = jax.ShapeDtypeStruct
+    outs = (
+        sds(shape3(NUM_STATE), jnp.float32),
+        sds(shape3(OBS_ROWS), jnp.float32),
+        sds(shape3(NUM_OUT), jnp.float32),
+        sds(shape3(1), jnp.int32),
+        sds(shape3(n_push), jnp.int32),
+        sds(shape3(1), jnp.float32),
+        sds(shape3(1), jnp.int32),
+    )
+    res = pl.pallas_call(
+        functools.partial(_kernel_krng, cfg=cfg),
+        grid=grid,
+        in_specs=[smem_spec(weights_pad.shape), smem_spec(poses.shape),
+                  spec(NUM_STATE), spec(NUM_PARAM), spec(2),
+                  smem_spec((1,)), spec(1), spec(n_push), spec(1), spec(1)],
+        out_specs=tuple(spec(o.shape[0]) for o in outs),
+        out_shape=outs,
+    )(weights_pad, poses, view(state), view(params), view(action_rows),
+      seed, view(step_count), view(timers), view(ep_return), view(ep_len))
+    unview = lambda x: x.reshape(x.shape[0], b)
+    return tuple(unview(x) for x in res)
+
+
 def make_fused_drift_step(task_cfg, env_cfg, ref_poses_np):
     """Build the fused step closure stored on TaskModel.fused_step.
 
@@ -472,10 +571,6 @@ def make_fused_drift_step(task_cfg, env_cfg, ref_poses_np):
     def fused_step(env, state, action):
         n = env.num_envs
         key, k_u, k_n = jax.random.split(state.key, 3)
-        uniforms = jax.random.uniform(k_u, (NUM_UNIFORM, n))
-        normals = (jax.random.normal(k_n, (OBS_ROWS, n))
-                   if cfg.enable_corruption
-                   else jnp.zeros((OBS_ROWS, n), jnp.float32))
 
         from ...sim.soa import pack_state
         from ...sim.types import VehicleState
@@ -488,28 +583,80 @@ def make_fused_drift_step(task_cfg, env_cfg, ref_poses_np):
              jnp.zeros((1,), jnp.float32)])[None]   # (1, 8) SMEM
         interp = getattr(env, "_pallas_interpret", False)
 
-        def call(w, po, *rows):
-            return fused_drift_pallas(w, po, *rows, cfg=cfg, n_push=n_push,
-                                      interpret=interp)
-
         from ...parallel.mesh import ambient_data_shards
 
-        if ambient_data_shards() > 1:
-            # data mesh active: shard-map the kernel so each device runs it
-            # on its local env block (pallas_call has no GSPMD rule)
-            from jax.sharding import PartitionSpec as P
-            from ...parallel.mesh import DATA_AXIS
+        shards = ambient_data_shards()
+        # MEASURED NEGATIVE (round 5): drawing the per-step RNG blocks from
+        # the hardware PRNG inside the kernel (fused_drift_pallas_krng, one
+        # i32 seed instead of 26 rows x B through HBM) benched 300.5M vs
+        # 315.9M env-steps/s at 16k envs — the kernel is VPU-ISSUE-RATE
+        # bound (docs/runs/limiter_r05), so adding the PRNG + Box-Muller
+        # transcendentals IN-kernel costs more than the streamed blocks
+        # save: pallas_call's input DMA overlaps compute, making the
+        # streamed rows nearly free. Kept behind an env var for future
+        # hardware where the balance differs.
+        use_krng = (not interp
+                    and os.environ.get("WHEELEDLAB_KERNEL_RNG") == "1"
+                    and jax.default_backend() not in ("cpu", "gpu"))
+        if use_krng:
+            seed = jax.random.randint(
+                k_u, (1,), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
 
-            row = P(None, DATA_AXIS)
-            # check_vma=False: pallas_call's ShapeDtypeStructs carry no
-            # varying-mesh-axes annotation
-            call = jax.shard_map(call, in_specs=(P(), P()) + (row,) * 9,
-                                 out_specs=(row,) * 7, check_vma=False)
-        res = call(
-            weights_pad, jnp.asarray(poses), mem,
-            state.packed_params, action.T, uniforms, normals,
-            state.step_count[None], state.push_timers,
-            state.ep_return[None], state.ep_len[None])
+            def call(w, po, mem_, pp, act, sd, sc, tm, er, el):
+                return fused_drift_pallas_krng(
+                    w, po, mem_, pp, act, sd, sc, tm, er, el,
+                    cfg=cfg, n_push=n_push)
+
+            if shards > 1:
+                from jax.sharding import PartitionSpec as P
+                from ...parallel.mesh import DATA_AXIS
+
+                inner = call
+
+                def sharded(w, po, mem_, pp, act, sd, sc, tm, er, el):
+                    # distinct stream per data shard (i32 wrap is fine)
+                    sd = sd + (jax.lax.axis_index(DATA_AXIS)
+                               .astype(jnp.int32) * jnp.int32(0x3779B1))
+                    return inner(w, po, mem_, pp, act, sd, sc, tm, er, el)
+
+                row = P(None, DATA_AXIS)
+                call = jax.shard_map(
+                    sharded,
+                    in_specs=(P(), P(), row, row, row, P(), row, row, row,
+                              row),
+                    out_specs=(row,) * 7, check_vma=False)
+            res = call(
+                weights_pad, jnp.asarray(poses), mem,
+                state.packed_params, action.T, seed,
+                state.step_count[None], state.push_timers,
+                state.ep_return[None], state.ep_len[None])
+        else:
+            uniforms = jax.random.uniform(k_u, (NUM_UNIFORM, n))
+            normals = (jax.random.normal(k_n, (OBS_ROWS, n))
+                       if cfg.enable_corruption
+                       else jnp.zeros((OBS_ROWS, n), jnp.float32))
+
+            def call(w, po, *rows):
+                return fused_drift_pallas(w, po, *rows, cfg=cfg,
+                                          n_push=n_push, interpret=interp)
+
+            if shards > 1:
+                # data mesh active: shard-map the kernel so each device
+                # runs it on its local env block (no GSPMD rule for
+                # pallas_call; check_vma=False — the ShapeDtypeStructs
+                # carry no varying-mesh-axes annotation)
+                from jax.sharding import PartitionSpec as P
+                from ...parallel.mesh import DATA_AXIS
+
+                row = P(None, DATA_AXIS)
+                call = jax.shard_map(call,
+                                     in_specs=(P(), P()) + (row,) * 9,
+                                     out_specs=(row,) * 7, check_vma=False)
+            res = call(
+                weights_pad, jnp.asarray(poses), mem,
+                state.packed_params, action.T, uniforms, normals,
+                state.step_count[None], state.push_timers,
+                state.ep_return[None], state.ep_len[None])
         (packed, obs_rows, out, step_count, timers, ep_return, ep_len) = res
 
         obs = obs_rows.T
