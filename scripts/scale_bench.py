@@ -69,6 +69,9 @@ def main():
                         "efficiency lever for the pod envelope sweep)")
     p.add_argument("--out", default=None, help="also write the JSON line here")
     args = p.parse_args()
+    if args.fuse_input_layer and not args.full_ppo:
+        p.error("--fuse-input-layer only affects the PPO update; "
+                "pass --full-ppo with it")
 
     from wheeledlab_tpu.parallel import distributed, shard_train_state
     from wheeledlab_tpu.parallel.mesh import make_mesh, shard_batched_pytree

@@ -43,13 +43,18 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def _lane_major_row_counts():
-    """Leading-dim row counts of the known lane-major (rows, B) matrices:
-    the packed vehicle state / params caches plus small stacked per-event
-    rows ((n_push, B) push timers — at most a handful of events)."""
+_MAX_EVENT_ROWS = 8   # (n_push, B) event-timer stacks; tasks define at most
+                      # a couple of push events — 8 leaves headroom
+
+
+def _is_lane_major(shape, batch_size: int) -> bool:
+    """Is `shape` one of the known lane-major (rows, B) row matrices —
+    the packed vehicle state / params caches or a small per-event stack?"""
     from ..sim.soa import NUM_PARAM, NUM_STATE
 
-    return {NUM_STATE, NUM_PARAM, 1, 2, 3, 4}
+    return (len(shape) == 2 and shape[-1] == batch_size
+            and (shape[0] in (NUM_STATE, NUM_PARAM)
+                 or shape[0] <= _MAX_EVENT_ROWS))
 
 
 def shard_batched_pytree(tree, mesh: Mesh, batch_size: int):
@@ -58,22 +63,32 @@ def shard_batched_pytree(tree, mesh: Mesh, batch_size: int):
     packed (NUM_PARAM, B) params cache or (n_push, B) push timers) shard
     that axis instead; everything else (scalars, global counters) replicates.
 
-    Trailing-dim sharding is opt-in by leading-dim row count
-    (`_lane_major_row_counts`): a future non-batch 2D array whose last dim
-    coincidentally equals num_envs must not be silently mis-sharded."""
+    Trailing-dim sharding is opt-in by recognized leading-dim row count
+    (`_is_lane_major`): a future non-batch 2D array whose last dim
+    coincidentally equals num_envs must not be silently mis-sharded. The
+    converse hazard — a NEW lane-major matrix silently replicating — fails
+    loudly instead: any unrecognized (rows, B) shape raises a warning so
+    the row-count table gets extended rather than quietly resharding every
+    step."""
     data = batch_sharding(mesh)
     repl = replicated(mesh)
-    row_counts = _lane_major_row_counts()
 
     def place(x):
         if not hasattr(x, "shape") or x.ndim < 1:
             return jax.device_put(x, repl)
         if x.shape[0] == batch_size:
             return jax.device_put(x, data)
-        if (x.ndim == 2 and x.shape[-1] == batch_size
-                and x.shape[0] in row_counts):
+        if _is_lane_major(x.shape, batch_size):
             return jax.device_put(
                 x, NamedSharding(mesh, P(None, DATA_AXIS)))
+        if x.ndim == 2 and x.shape[-1] == batch_size:
+            import warnings
+
+            warnings.warn(
+                f"shard_batched_pytree: replicating ambiguous {x.shape} "
+                "array whose trailing dim equals the env batch — if this "
+                "is a lane-major per-env matrix, extend "
+                "parallel/mesh.py::_is_lane_major")
         return jax.device_put(x, repl)
 
     return jax.tree_util.tree_map(place, tree)

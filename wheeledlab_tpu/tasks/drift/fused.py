@@ -438,17 +438,13 @@ def _kernel_krng(weights_ref, poses_ref, state_ref, params_ref, act_ref,
         out_out, step_out, timers_out, epret_out, eplen_out, cfg=cfg)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("cfg", "n_push", "interpret"))
-def fused_drift_pallas(weights_pad, poses, state, params, action_rows,
-                       uniforms, normals, step_count, timers, ep_return,
-                       ep_len, cfg: FusedDriftConsts, n_push: int,
-                       interpret: bool = False):
-    """One fused control step: (NUM_STATE, B) in -> everything out.
-
-    Tiling mirrors ops/pallas_substep.py: the env batch is the lane dim,
-    viewed (rows, B/128, 128) so every row is a full (sub, 128) VPU tile."""
-    b = state.shape[1]
+def _fused_call_plan(b: int, n_push: int):
+    """Grid/BlockSpec/reshape scaffolding shared by the fused-step pallas
+    callers (streamed-RNG and kernel-RNG variants): the env batch as the
+    lane dim, viewed (rows, B/128, 128) so every row is a full (sub, 128)
+    VPU tile. Returns (grid, spec, smem_spec, view, unview, outs) — ONE
+    place to change if the fused step's tiling or output block layout
+    moves."""
     if b % 128 == 0:
         lanes = b // 128
         sub = next(s for s in (16, 8, 4, 2, 1) if lanes % s == 0)
@@ -457,7 +453,6 @@ def fused_drift_pallas(weights_pad, poses, state, params, action_rows,
         block = lambda rows: (rows, sub, 128)
         index_map = lambda i: (0, i, 0)
     else:  # interpret/test path
-        lanes, sub = 1, 1
         grid = (1,)
         shape3 = lambda rows: (rows, 1, b)
         block = lambda rows: (rows, 1, b)
@@ -474,6 +469,7 @@ def fused_drift_pallas(weights_pad, poses, state, params, action_rows,
             **({} if _SMEM is None else {"memory_space": _SMEM}))
 
     view = lambda x: x.reshape((x.shape[0],) + shape3(0)[1:])
+    unview = lambda x: x.reshape(x.shape[0], b)
     sds = jax.ShapeDtypeStruct
     outs = (
         sds(shape3(NUM_STATE), jnp.float32),   # new state
@@ -484,6 +480,18 @@ def fused_drift_pallas(weights_pad, poses, state, params, action_rows,
         sds(shape3(1), jnp.float32),           # ep_return
         sds(shape3(1), jnp.int32),             # ep_len
     )
+    return grid, spec, smem_spec, view, unview, outs
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "n_push", "interpret"))
+def fused_drift_pallas(weights_pad, poses, state, params, action_rows,
+                       uniforms, normals, step_count, timers, ep_return,
+                       ep_len, cfg: FusedDriftConsts, n_push: int,
+                       interpret: bool = False):
+    """One fused control step: (NUM_STATE, B) in -> everything out."""
+    b = state.shape[1]
+    grid, spec, smem_spec, view, unview, outs = _fused_call_plan(b, n_push)
     res = pl.pallas_call(
         functools.partial(_kernel, cfg=cfg),
         grid=grid,
@@ -497,7 +505,6 @@ def fused_drift_pallas(weights_pad, poses, state, params, action_rows,
     )(weights_pad, poses, view(state), view(params), view(action_rows),
       view(uniforms), view(normals), view(step_count), view(timers),
       view(ep_return), view(ep_len))
-    unview = lambda x: x.reshape(x.shape[0], b)
     return tuple(unview(x) for x in res)
 
 
@@ -510,36 +517,14 @@ def fused_drift_pallas_krng(weights_pad, poses, state, params, action_rows,
     ~18% of the fused step's wall time at 16k envs) never exist in HBM.
     TPU-only (no interpret path — the interpret/CPU parity tests pin the
     math through the streamed-RNG kernel, which shares `_kernel_epilogue`
-    verbatim); `seed` is a (1,) i32 drawn per control step."""
+    verbatim; the PRNG bit extraction + Box-Muller are validated on-device
+    by scripts/check_kernel_rng.py); `seed` is a (1,) i32 drawn per
+    control step. MEASURED NEGATIVE on v5e as the default (see
+    make_fused_drift_step) — kept opt-in for hardware where the
+    VPU/HBM balance differs."""
     b = state.shape[1]
     assert b % 128 == 0, "kernel-RNG path is TPU-only (lane-aligned batch)"
-    lanes = b // 128
-    sub = next(s for s in (16, 8, 4, 2, 1) if lanes % s == 0)
-    grid = (lanes // sub,)
-    shape3 = lambda rows: (rows, lanes, 128)
-    block = lambda rows: (rows, sub, 128)
-
-    def spec(rows):
-        return pl.BlockSpec(
-            block(rows), lambda i: (0, i, 0),
-            **({} if _VMEM is None else {"memory_space": _VMEM}))
-
-    def smem_spec(shape):
-        return pl.BlockSpec(
-            shape, lambda i: (0,) * len(shape),
-            **({} if _SMEM is None else {"memory_space": _SMEM}))
-
-    view = lambda x: x.reshape((x.shape[0],) + shape3(0)[1:])
-    sds = jax.ShapeDtypeStruct
-    outs = (
-        sds(shape3(NUM_STATE), jnp.float32),
-        sds(shape3(OBS_ROWS), jnp.float32),
-        sds(shape3(NUM_OUT), jnp.float32),
-        sds(shape3(1), jnp.int32),
-        sds(shape3(n_push), jnp.int32),
-        sds(shape3(1), jnp.float32),
-        sds(shape3(1), jnp.int32),
-    )
+    grid, spec, smem_spec, view, unview, outs = _fused_call_plan(b, n_push)
     res = pl.pallas_call(
         functools.partial(_kernel_krng, cfg=cfg),
         grid=grid,
@@ -550,7 +535,6 @@ def fused_drift_pallas_krng(weights_pad, poses, state, params, action_rows,
         out_shape=outs,
     )(weights_pad, poses, view(state), view(params), view(action_rows),
       seed, view(step_count), view(timers), view(ep_return), view(ep_len))
-    unview = lambda x: x.reshape(x.shape[0], b)
     return tuple(unview(x) for x in res)
 
 

@@ -46,8 +46,9 @@ def package_code_hash() -> str:
 
     root = os.path.dirname(os.path.abspath(wheeledlab_tpu.__file__))
     h = hashlib.sha256()
+    # sorted() materializes the walk, so ordering comes from sorting the
+    # (dirpath, ...) tuples + filenames — not from in-walk dirname mutation
     for dirpath, dirnames, filenames in sorted(os.walk(root)):
-        dirnames.sort()
         for fn in sorted(filenames):
             if fn.endswith(".py"):
                 p = os.path.join(dirpath, fn)
@@ -81,11 +82,16 @@ def _cache_key(run_cfg) -> str:
     from .config import to_dict
 
     cfg = to_dict(run_cfg)
-    # program-irrelevant fields: logging/IO paths, iteration budget (a host
-    # loop), seed (changes values, not the program), resume pointers
+    # program-irrelevant fields: logging/IO paths, iteration budget and
+    # early-stop threshold (host-loop only), seed (changes values, not the
+    # program), resume pointers, and the cache/profiling knobs themselves —
+    # anything here that differs across runs of the same compiled program
+    # would silently fork the cache key and recompile (e.g. train_bench
+    # sets target_return)
     cfg.get("train", {}).pop("log", None)
     for k in ("num_iterations", "seed", "load_run", "load_run_checkpoint",
-              "profile"):
+              "profile", "target_return", "aot_warm_start",
+              "compilation_cache"):
         cfg.get("train", {}).pop(k, None)
     ident = {
         "cfg": cfg,
