@@ -90,14 +90,14 @@ def main(argv=None):
             yaw = wmath.yaw_from_quat(s.vehicle.quat)
             carry = (s, out.obs, hidden, out.done.astype(jnp.float32))
             return carry, (o, mean, s.vehicle.pos, yaw, out.reward, s.command,
-                           s.vehicle.quat)
+                           s.vehicle.quat, out.done)
 
         carry0 = (env_state, obs, hidden0 if recurrent else 0,
                   jnp.zeros((args.num_envs,)))
         _, traj = jax.lax.scan(body, carry0, None, length=args.steps)
         return traj
 
-    obs_t, act_t, pos_t, yaw_t, rew_t, cmd_t, quat_t = [
+    obs_t, act_t, pos_t, yaw_t, rew_t, cmd_t, quat_t, done_t = [
         np.asarray(x) for x in rollout(env_state, obs)]
     play_dir = os.path.join(run_dir, "play")
     os.makedirs(play_dir, exist_ok=True)
@@ -114,9 +114,14 @@ def main(argv=None):
     step_dt = env.cfg.sim_dt * env.cfg.decimation
     vel = np.diff(pos_t[..., :2], axis=0) / step_dt            # (T-1, B, 2)
     speed = np.linalg.norm(vel, axis=-1)
+    # positions are recorded POST-reset, so the t -> t+1 difference is a
+    # respawn teleport whenever step t+1 ended an episode (play keeps
+    # timeouts even with terminations stripped) — mask those rows or a
+    # handful of cross-map jumps dominates the speed mean
+    valid = ~done_t[1:].astype(bool)                           # (T-1, B)
     play_metrics = {"reward_mean": float(rew_t.mean()),
-                    "speed_mean": float(speed.mean())}
-    moving = speed > 0.5
+                    "speed_mean": float(speed[valid].mean())}
+    moving = (speed > 0.5) & valid
     if moving.any():
         # body slip angle: motion direction vs heading (drift tasks)
         slip = np.arctan2(vel[..., 1], vel[..., 0]) - yaw_t[:-1]
