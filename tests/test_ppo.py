@@ -158,6 +158,18 @@ class TestFusedInputLayer:
         assert mean.shape == (4, 2) and value.shape == (4,)
         assert mean.dtype == jnp.float32
 
+    def test_mismatched_first_widths_fall_back(self):
+        """fuse_input_layer requires equal first hidden widths; make_ppo
+        must silently fall back to the plain module apply otherwise."""
+        env = make_env("MushrDriftRL-v0", num_envs=8)
+        cfg = PPOCfg(num_steps_per_env=8, num_mini_batches=2,
+                     num_learning_epochs=1, fuse_input_layer=True,
+                     actor_hidden=(64, 64), critic_hidden=(32, 32))
+        init_fn, train_iter, policy = make_ppo(env, cfg)
+        state = jax.jit(init_fn)(jax.random.PRNGKey(0))
+        state, metrics = jax.jit(train_iter)(state)
+        assert np.isfinite(float(metrics["loss/total"]))
+
 
 if __name__ == "__main__":
     import sys
