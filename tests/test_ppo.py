@@ -122,6 +122,34 @@ class TestTrainIteration:
             float(m1["loss/total"]), float(m2["loss/total"]), rtol=1e-6)
 
 
+class TestPackedShuffle:
+    """Narrow-obs single-gather epoch shuffle (ppo.update_epochs): folding
+    the 14-wide drift obs into the packed column array is pure data movement
+    (concat -> one permutation gather -> split), so the train iteration must
+    be BIT-identical to the two-gather path."""
+
+    def test_single_gather_bit_identical(self, monkeypatch):
+        import wheeledlab_tpu.rl.ppo as ppo_mod
+
+        env = make_env("MushrDriftRL-v0", num_envs=16)
+        cfg = PPOCfg(num_steps_per_env=8, num_learning_epochs=2,
+                     num_mini_batches=2)
+        init_fn, it_packed, _ = make_ppo(env, cfg)
+        state = jax.jit(init_fn)(jax.random.PRNGKey(0))
+        s1, m1 = jax.jit(it_packed)(state)
+
+        monkeypatch.setattr(ppo_mod, "_PACK_OBS_MAX_WIDTH", -1)
+        _, it_unpacked, _ = make_ppo(env, cfg)
+        s2, m2 = jax.jit(it_unpacked)(state)
+
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)),
+            s1.params, s2.params)
+        assert float(m1["loss/total"]) == float(m2["loss/total"])
+        assert float(m1["loss/kl"]) == float(m2["loss/kl"])
+
+
 class TestFusedInputLayer:
     """networks.fused_actor_critic_apply — the concatenated first-layer
     matmul for wide-obs tasks (param tree unchanged; results equal to

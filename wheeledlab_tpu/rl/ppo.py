@@ -70,6 +70,12 @@ class PPOCfg:
     # was stored f32 or bf16 — storage dtype does not perturb the PPO ratio.
 
 
+# Widest obs that folds into the packed shuffle array (one permutation
+# gather instead of two — see update_epochs). Tests monkeypatch this to
+# force the unpacked path and assert bit-identity.
+_PACK_OBS_MAX_WIDTH = 64
+
+
 def init_info_acc(env: "WheeledEnv", env_state) -> Dict[str, jax.Array]:
     """Zeroed scalar accumulators for the env's per-step info channels.
 
@@ -314,8 +320,12 @@ def make_ppo(env: WheeledEnv, cfg: PPOCfg, _internals: dict | None = None,
         so the whole shuffle is 2 gathers (obs + packed) instead of 8 — TPU
         random-index gathers are latency-bound per gather, and this halves
         the update wall time (measured 9.6 -> 5.3 ms at 131k samples on v5e).
-        obs stays separate: for the visual task it is 3208-wide and packing
-        it would add a full extra copy of the largest array.
+        NARROW obs (width <= 64, same dtype) folds into that same packed
+        array, making the whole shuffle ONE gather — pure data movement
+        (concat -> gather -> split), so outputs are bit-identical; the copy
+        it adds is small at these widths. Wide obs (visual 3208, elevation
+        ~700) stays separate: packing it would add a full extra copy of the
+        largest array in the update.
 
         Sharded (mesh given): the permutation is per shard, computed inside
         `shard_map` with the key folded by the shard index — each device
@@ -331,30 +341,38 @@ def make_ppo(env: WheeledEnv, cfg: PPOCfg, _internals: dict | None = None,
         col3d = lambda x: x if x.ndim == 3 else x[..., None]
         small_tb = jnp.concatenate([col3d(x) for x in dataset[1:]], axis=-1)
         widths = [col3d(x).shape[-1] for x in dataset[1:]]
+        obs_w = obs_tb.shape[-1]
+        pack_obs = (obs_w <= _PACK_OBS_MAX_WIDTH
+                    and obs_tb.dtype == small_tb.dtype)
+        if pack_obs:
+            blocks = (jnp.concatenate([col3d(obs_tb), small_tb], axis=-1),)
+        else:
+            blocks = (obs_tb, small_tb)
 
-        def flat_shuffle(k, obs_blk, small_blk):
-            """[T, b, ...] block -> (nb, mb, ...) shuffled minibatches."""
-            t, b = obs_blk.shape[:2]
+        def flat_shuffle(k, *blks):
+            """[T, b, ...] blocks -> (nb, mb, ...) shuffled minibatches."""
+            t, b = blks[0].shape[:2]
             n = t * b
             mb = n // nb
             perm = jax.random.permutation(k, n)
-            o = obs_blk.reshape(n, -1)[perm][: mb * nb]
-            s = small_blk.reshape(n, -1)[perm][: mb * nb]
-            return (o.reshape(nb, mb, o.shape[-1]),
-                    s.reshape(nb, mb, s.shape[-1]))
+            out = []
+            for x in blks:
+                x = x.reshape(n, -1)[perm][: mb * nb]
+                out.append(x.reshape(nb, mb, x.shape[-1]))
+            return tuple(out)
 
         if mesh is None or mesh.shape.get(DATA_AXIS, 1) == 1:
-            obs_b, small_b = flat_shuffle(key, obs_tb, small_tb)
+            shuffled = flat_shuffle(key, *blocks)
         else:
-            def local_shuffle(k, obs_blk, small_blk):
+            def local_shuffle(k, *blks):
                 k = jax.random.fold_in(k, jax.lax.axis_index(DATA_AXIS))
-                return flat_shuffle(k, obs_blk, small_blk)
+                return flat_shuffle(k, *blks)
 
-            obs_b, small_b = jax.shard_map(
+            shuffled = jax.shard_map(
                 local_shuffle, mesh=mesh,
-                in_specs=(P(), P(None, DATA_AXIS), P(None, DATA_AXIS)),
-                out_specs=(P(None, DATA_AXIS), P(None, DATA_AXIS)),
-            )(key, obs_tb, small_tb)
+                in_specs=(P(),) + (P(None, DATA_AXIS),) * len(blocks),
+                out_specs=(P(None, DATA_AXIS),) * len(blocks),
+            )(key, *blocks)
 
         def unpack(ob, sm):
             cols, off = [ob], 0
@@ -365,11 +383,15 @@ def make_ppo(env: WheeledEnv, cfg: PPOCfg, _internals: dict | None = None,
             return tuple(cols)
 
         def mb_update(carry, batch):
-            ob, sm = batch
+            if pack_obs:
+                (pk,) = batch
+                ob, sm = pk[:, :obs_w], pk[:, obs_w:]
+            else:
+                ob, sm = batch
             return minibatch_update(carry, unpack(ob, sm))
 
         def epoch(carry, _):
-            carry, metrics = jax.lax.scan(mb_update, carry, (obs_b, small_b))
+            carry, metrics = jax.lax.scan(mb_update, carry, shuffled)
             return carry, metrics
 
         (params, opt_state), metrics = jax.lax.scan(
