@@ -56,6 +56,10 @@ def measure(fn, state, steps_per_iter: int, min_wall: float):
 
 def main():
     p = argparse.ArgumentParser()
+    p.add_argument("--task", default="MushrDriftRL-v0",
+                   help="registered task id (per-chip envelopes for the "
+                        "other task families, e.g. MushrElevationRL-v0 / "
+                        "MushrVisualRL-v0)")
     p.add_argument("--devices", type=int, default=None,
                    help="mesh size (default: every visible device)")
     p.add_argument("--envs-per-device", type=int, default=2048)
@@ -84,7 +88,7 @@ def main():
     mesh = make_mesh(n_dev)
     num_envs = n_dev * args.envs_per_device
 
-    env = make_env("MushrDriftRL-v0", num_envs=num_envs)
+    env = make_env(args.task, num_envs=num_envs)
 
     with jax.sharding.set_mesh(mesh):
         if args.full_ppo:
@@ -105,7 +109,7 @@ def main():
             state, _ = jax.jit(env.reset)(jax.random.PRNGKey(0))
             state = shard_batched_pytree(state, mesh, num_envs)
             action = jax.device_put(
-                jnp.zeros((num_envs, 2)),
+                jnp.zeros((num_envs, env.action_dim)),
                 jax.sharding.NamedSharding(
                     mesh, jax.sharding.PartitionSpec("data")))
 
@@ -134,6 +138,7 @@ def main():
 
     if jax.process_index() == 0:
         row = {
+            "task": args.task,
             "devices": n_dev,
             "hosts": jax.process_count(),
             "num_envs": num_envs,

@@ -309,3 +309,38 @@ class TestVisualArtifact:
 if __name__ == "__main__":
     import sys
     sys.exit(pytest.main([__file__, "-x", "-q"]))
+
+
+class TestTaskEnvelopeArtifact:
+    """Committed per-chip full-PPO envelopes for the non-drift task families
+    (docs/runs/scale_r05/task_envelopes.json, scale_bench.py --task): pins
+    the measured shape — elevation's optimum sits AT the reference-parity
+    1024-env size and visual is batch-insensitive — so a regression that
+    tanks a task's per-chip rate at its training size is caught."""
+
+    @staticmethod
+    def load():
+        path = os.path.join(RUNS_DIR, "scale_r05", "task_envelopes.json")
+        if not os.path.exists(path):
+            pytest.skip("no committed task envelope artifact")
+        return json.load(open(path))
+
+    def test_elevation_envelope(self):
+        art = self.load()
+        rows = {r["num_envs"]: r for r in art["rows"]
+                if r["task"] == "MushrElevationRL-v0"}
+        assert set(rows) >= {512, 1024, 2048, 4096}
+        # measured: 3.0M / 4.4M / 4.1M / 3.9M — 1024 is the optimum
+        assert rows[1024]["env_steps_per_s"] > 4.0e6
+        assert rows[1024]["env_steps_per_s"] == max(
+            r["env_steps_per_s"] for r in rows.values())
+
+    def test_visual_envelope(self):
+        art = self.load()
+        rows = {r["num_envs"]: r for r in art["rows"]
+                if r["task"] == "MushrVisualRL-v0"}
+        assert set(rows) >= {512, 1024, 2048}
+        # measured: 1.55M / 1.57M / 1.50M — flat within ~5%
+        rates = [r["env_steps_per_s"] for r in rows.values()]
+        assert min(rates) > 1.2e6, rates
+        assert max(rates) / min(rates) < 1.15, rates
