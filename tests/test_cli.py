@@ -192,6 +192,29 @@ class TestPlayCLI:
         assert top and all(f.stat().st_size > 0 for f in top)
         assert fp and all(f.stat().st_size > 0 for f in fp)
 
+    def test_train_video_policy_view_visual_task(self, tmp_path):
+        """Training `--video` on a camera task writes BOTH the top-down clip
+        and the policy-view clip per capture (reference records the rendered
+        sim viewport during training, custom_video_recorder.py:12-75 +
+        LogConfig.video common_cfg.py:19-29)."""
+        from wheeledlab_tpu.cli.train import main as train_main
+
+        small_map = ["env.map_rows=100", "env.map_cols=100",
+                     "env.env_rows=20", "env.env_cols=20",
+                     "env.group_rows=5", "env.group_cols=5"]
+        train_main(["-r", "RSS_VISUAL_CONFIG", "num_envs=8",
+                    "train.num_iterations=2", "agent.num_steps_per_env=8",
+                    "agent.num_learning_epochs=1", "agent.num_mini_batches=2",
+                    "train.log.log_every=2", "--video",
+                    "train.log.video_interval=2", "train.log.video_length=4",
+                    "train.log.no_checkpoints=True",
+                    f"train.log.logs_dir={tmp_path}",
+                    "train.log.run_name=trainpv"] + small_map)
+        vid_dir = tmp_path / "trainpv" / "videos"
+        stems = {f.name.rsplit(".", 1)[0] for f in vid_dir.iterdir()}
+        assert {"iter_2", "iter_2-policyview"} <= stems, stems
+        assert all(f.stat().st_size > 0 for f in vid_dir.iterdir())
+
 
 if __name__ == "__main__":
     import sys

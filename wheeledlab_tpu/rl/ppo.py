@@ -144,10 +144,11 @@ def traj_captures(env_state: EnvState) -> Dict[str, jax.Array]:
     `--video` works for both policy classes."""
     q = env_state.vehicle.quat
     return {
-        "traj/pos": env_state.vehicle.pos[:8, :2],
+        "traj/pos": env_state.vehicle.pos[:8, :3],
         "traj/yaw": jnp.arctan2(
             2 * (q[:8, 0] * q[:8, 3] + q[:8, 1] * q[:8, 2]),
             1 - 2 * (q[:8, 2] ** 2 + q[:8, 3] ** 2)),
+        "traj/quat": q[:8],
         "traj/cmd": env_state.command[:8, :2],
     }
 

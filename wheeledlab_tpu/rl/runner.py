@@ -17,6 +17,7 @@ import time
 from typing import Any, Dict, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..utils.config import configclass, to_dict
@@ -331,6 +332,7 @@ def _train_loop(run_cfg, env, state, iter_jit, logger, ckpt_mgr, timer,
             state, metrics = iter_jit(state)
         traj_pos = metrics.pop("traj/pos", None)
         traj_yaw = metrics.pop("traj/yaw", None)
+        traj_quat = metrics.pop("traj/quat", None)
         traj_cmd = metrics.pop("traj/cmd", None)
         if (log_cfg.video and not log_cfg.test_mode and not logger.cfg.no_log
                 and traj_pos is not None
@@ -346,7 +348,8 @@ def _train_loop(run_cfg, env, state, iter_jit, logger, ckpt_mgr, timer,
             with timer.phase("video"):
                 length = log_cfg.video_length or None  # 0 -> full rollout
                 frames = render_task_frames(
-                    env, run_cfg.task_name, np.asarray(traj_pos)[:length],
+                    env, run_cfg.task_name,
+                    np.asarray(traj_pos)[:length, :, :2],
                     np.asarray(traj_yaw)[:length],
                     None if traj_cmd is None
                     else np.asarray(traj_cmd)[:length])
@@ -354,6 +357,26 @@ def _train_loop(run_cfg, env, state, iter_jit, logger, ckpt_mgr, timer,
                            resolution=log_cfg.video_resolution or None,
                            crf=log_cfg.video_crf)
                 logger.log_video(it + 1, frames)
+                if env.task.colormap is not None and traj_quat is not None:
+                    # Camera tasks additionally record the POLICY-VIEW clip —
+                    # env 0's onboard camera over the same rollout window, the
+                    # scene the policy actually operates in (reference
+                    # CustomRecordVideo over the sim viewport,
+                    # custom_video_recorder.py:12-75; TiledCameraCfg
+                    # mushr_visual_env_cfg.py:230-246). Exact full-frame RGB
+                    # (render_rgb), matching the play-CLI clip.
+                    from ..tasks.visual.camera import render_rgb
+
+                    fp = jax.jit(lambda p, q: render_rgb(
+                        env.task.colormap, p, q))(
+                        jnp.asarray(np.asarray(traj_pos)[:length, 0]),
+                        jnp.asarray(np.asarray(traj_quat)[:length, 0]))
+                    fp_frames = np.clip(
+                        np.asarray(fp) * 255.0, 0, 255).astype(np.uint8)
+                    save_video(
+                        fp_frames,
+                        os.path.join(vid_dir, f"iter_{it + 1}-policyview.avi"),
+                        resolution=(320, 240), crf=log_cfg.video_crf)
         if (it + 1) % log_cfg.log_every == 0 or it == n_iter - 1:
             # ONE batched device->host pull; per-item float(np.asarray(v))
             # pays a tunnel round-trip per metric (~10x slower, measured).
