@@ -376,6 +376,7 @@ def _train_loop(run_cfg, env, state, iter_jit, logger, ckpt_mgr, timer,
                     save_video(
                         fp_frames,
                         os.path.join(vid_dir, f"iter_{it + 1}-policyview.avi"),
+                        fps=max(int(round(1.0 / env.cfg.step_dt)), 1),
                         resolution=(320, 240), crf=log_cfg.video_crf)
         if (it + 1) % log_cfg.log_every == 0 or it == n_iter - 1:
             # ONE batched device->host pull; per-item float(np.asarray(v))
