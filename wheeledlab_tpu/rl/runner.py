@@ -323,6 +323,14 @@ def _train_loop(run_cfg, env, state, iter_jit, logger, ckpt_mgr, timer,
     of train() so the whole loop runs under the mesh context when sharded."""
     log_cfg = run_cfg.train.log
     last_metrics: Dict[str, float] = {}
+    # jitted ONCE outside the loop: a fresh lambda per capture would miss
+    # the jit cache and recompile the renderer at every video interval
+    policy_view_jit = None
+    if env.task.colormap is not None:
+        from ..tasks.visual.camera import render_rgb
+
+        policy_view_jit = jax.jit(
+            lambda p, q: render_rgb(env.task.colormap, p, q))
     for it in range(int(state.iteration), n_iter):
         if run_cfg.train.profile and it == 10:
             jax.profiler.start_trace(os.path.join(run_dir, "trace"))
@@ -357,7 +365,7 @@ def _train_loop(run_cfg, env, state, iter_jit, logger, ckpt_mgr, timer,
                            resolution=log_cfg.video_resolution or None,
                            crf=log_cfg.video_crf)
                 logger.log_video(it + 1, frames)
-                if env.task.colormap is not None and traj_quat is not None:
+                if policy_view_jit is not None and traj_quat is not None:
                     # Camera tasks additionally record the POLICY-VIEW clip —
                     # env 0's onboard camera over the same rollout window, the
                     # scene the policy actually operates in (reference
@@ -365,10 +373,7 @@ def _train_loop(run_cfg, env, state, iter_jit, logger, ckpt_mgr, timer,
                     # custom_video_recorder.py:12-75; TiledCameraCfg
                     # mushr_visual_env_cfg.py:230-246). Exact full-frame RGB
                     # (render_rgb), matching the play-CLI clip.
-                    from ..tasks.visual.camera import render_rgb
-
-                    fp = jax.jit(lambda p, q: render_rgb(
-                        env.task.colormap, p, q))(
+                    fp = policy_view_jit(
                         jnp.asarray(np.asarray(traj_pos)[:length, 0]),
                         jnp.asarray(np.asarray(traj_quat)[:length, 0]))
                     fp_frames = np.clip(
